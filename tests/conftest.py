@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding code
+paths compile and execute without TPU hardware (the driver separately
+dry-runs the multi-chip path; the benchmark runs on the real chip).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def seed(request):
+    """Draw and print a fresh seed per test for reproducibility (same
+    strategy as the reference test suite)."""
+    env_seed = os.environ.get('HYBRIDQ_TPU_TEST_SEED')
+    s = int(env_seed) if env_seed else np.random.randint(2**31)
+    print(f"\n# Used seed [{request.node.name}]: {s}", flush=True)
+    np.random.seed(s)
+    return s
