@@ -7,12 +7,19 @@ dry-runs the multi-chip path; the benchmark runs on the real chip).
 
 import os
 
-# Must be set before jax is imported anywhere.
+# In this environment jax is pre-imported at interpreter startup (the axon
+# TPU platform ignores JAX_PLATFORMS), so the env var alone is not enough:
+# force the CPU platform through the live config as well.
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 
 import numpy as np
 import pytest
