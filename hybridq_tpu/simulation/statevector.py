@@ -74,34 +74,107 @@ def apply_gate_split(re, im, Ur, Ui, in_axes: Tuple[int, ...], k: int):
     return rr - ii, ri + ir
 
 
+def _plan_gate_view(layout, qs, n_qubits):
+    """Compute the low-rank reshape isolating the gate qubits.
+
+    ``layout[p]`` is the qubit stored at bit position ``p`` (0 = most
+    significant bit of the flat 2^n index).  Returns
+    ``(shape, in_axes, new_layout)``: the segment shape exposing each gate
+    qubit as its own size-2 axis (rank ≤ 2k+1), the axis of each gate
+    qubit in ``qs`` order, and the bit layout after the contraction puts
+    the gate qubits in front.
+    """
+    pos_of = {q: p for p, q in enumerate(layout)}
+    ps = [pos_of[q] for q in qs]
+    sorted_ps = sorted(ps)
+    shape = []
+    axis_of_pos = {}
+    prev = 0
+    for p in sorted_ps:
+        if p > prev:
+            shape.append(2**(p - prev))
+        axis_of_pos[p] = len(shape)
+        shape.append(2)
+        prev = p + 1
+    if n_qubits > prev:
+        shape.append(2**(n_qubits - prev))
+    in_axes = [axis_of_pos[p] for p in ps]
+    new_layout = list(qs) + [q for p, q in enumerate(layout)
+                             if p not in set(ps)]
+    return tuple(shape), in_axes, new_layout
+
+
 def _trace_evolution(state, mats, axes_list: Tuple[Tuple[int, ...], ...],
-                     n_qubits: int):
+                     n_qubits: int, restore: bool = True):
     """Apply a sequence of gates to the split state (traced under jit).
 
-    ``state = (re, im)``; ``mats = list of (Ur, Ui)`` pairs;
-    ``axes_list[i]`` are the qubit indices gate ``i`` acts on (0-based, in
-    sorted-qubit order)."""
+    ``state = (re, im)`` flat or shaped; ``mats = list of (Ur, Ui)``
+    pairs; ``axes_list[i]`` are the qubit indices gate ``i`` acts on.
+
+    The state is kept *flat* (one 2^n vector); each gate reshapes it to a
+    rank ≤ 2k+1 segment view exposing exactly the gate qubits, contracts,
+    and flattens back — tensor ranks stay small no matter how many qubits
+    (XLA compile time scales badly with rank; the reference C++ core
+    works on the flat array with bit arithmetic for the same reason,
+    ``include/utils.h:79-105``).  The qubit→bit layout is tracked host-
+    side and restored with one final transpose (grouped into the same
+    low-rank segment views).
+    """
     import jax.numpy as jnp
 
     re, im = state
-    qubit_at = list(range(n_qubits))
-    axis_of = list(range(n_qubits))
+    re = jnp.reshape(re, (-1,))
+    im = jnp.reshape(im, (-1,))
+    layout = list(range(n_qubits))  # layout[p] = qubit at bit position p
 
     for (Ur, Ui), qs in zip(mats, axes_list):
         k = len(qs)
-        in_axes = [axis_of[q] for q in qs]
-        re, im = apply_gate_split(re, im, Ur, Ui, in_axes, k)
-        removed = set(in_axes)
-        qubit_at = list(qs) + [q for a, q in enumerate(qubit_at)
-                               if a not in removed]
-        for a, q in enumerate(qubit_at):
-            axis_of[q] = a
+        shape, in_axes, layout = _plan_gate_view(layout, qs, n_qubits)
+        re_v = jnp.reshape(re, shape)
+        im_v = jnp.reshape(im, shape)
+        re_v, im_v = apply_gate_split(re_v, im_v, Ur, Ui, in_axes, k)
+        re = jnp.reshape(re_v, (-1,))
+        im = jnp.reshape(im_v, (-1,))
 
-    if qubit_at != list(range(n_qubits)):
-        perm = [axis_of[q] for q in range(n_qubits)]
-        re = jnp.transpose(re, axes=perm)
-        im = jnp.transpose(im, axes=perm)
+    if restore and layout != list(range(n_qubits)):
+        re = _permute_bits(re, layout, n_qubits)
+        im = _permute_bits(im, layout, n_qubits)
+    re = jnp.reshape(re, (2,) * n_qubits)
+    im = jnp.reshape(im, (2,) * n_qubits)
     return re, im
+
+
+def _permute_bits(flat, layout, n_qubits):
+    """Restore bit order so that bit p holds qubit p.
+
+    Groups contiguous runs of the permutation so the transpose happens on
+    the lowest-rank view possible (a handful of segments rather than a
+    rank-n array)."""
+    import jax.numpy as jnp
+
+    # target: layout == identity.  Work on the inverse permutation:
+    # out_bit p must read in_bit pos_of[p].
+    pos_of = {q: p for p, q in enumerate(layout)}
+    src = [pos_of[q] for q in range(n_qubits)]  # out bit p <- in bit src[p]
+    # Group contiguous ascending runs in src.
+    runs = []  # (start_bit, length)
+    start = src[0]
+    length = 1
+    for x in src[1:]:
+        if x == start + length:
+            length += 1
+        else:
+            runs.append((start, length))
+            start, length = x, 1
+    runs.append((start, length))
+    if len(runs) == 1:
+        return flat
+    # View the input as segments in *input* order, then transpose to the
+    # output run order.
+    in_runs = sorted(runs)
+    shape = tuple(2**l for (_, l) in in_runs)
+    perm = tuple(in_runs.index(r) for r in runs)
+    return jnp.reshape(jnp.transpose(jnp.reshape(flat, shape), perm), (-1,))
 
 
 def make_evolver(axes_list: Sequence[Sequence[int]], n_qubits: int,

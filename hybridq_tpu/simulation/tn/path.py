@@ -1,0 +1,345 @@
+"""Contraction-path search and cost accounting.
+
+The reference uses cotengra's HyperOptimizer with KaHyPar hypergraph
+partitioning (``simulation.py:920-983``); neither is available here, so
+this module provides:
+
+  * ``ContractionTree`` — a binary contraction tree with per-node index
+    sets, sizes, and flop counts (the data structure the slicer and the
+    executor consume);
+  * ``find_path`` — best-of-N path search combining opt_einsum's
+    random-greedy with a KaHyPar-style recursive graph-bisection
+    heuristic (networkx Kernighan–Lin), minimizing ``flops`` / ``size`` /
+    ``combo``.
+
+Path search is host-side CPU combinatorics, exactly as in the reference —
+the TPU only runs the contractions.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ['ContractionTree', 'find_path', 'PathInfo']
+
+
+class ContractionTree:
+    """Binary contraction tree over ``n`` leaf tensors.
+
+    Built from an opt_einsum-style SSA path (pairs over a shrinking
+    list).  Nodes are integers: 0..n-1 are leaves; internal nodes are
+    appended.  ``children[v] = (a, b)``.
+    """
+
+    def __init__(self, inputs: Sequence[Tuple[str, ...]],
+                 output: Sequence[str], size_dict: Dict[str, int],
+                 path: Sequence[Tuple[int, int]]):
+        self.inputs = [tuple(x) for x in inputs]
+        self.output = tuple(output)
+        self.size_dict = dict(size_dict)
+        n = len(self.inputs)
+        self.n_leaves = n
+
+        # Convert shrinking-list path to SSA ids.
+        avail = list(range(n))
+        self.children: Dict[int, Tuple[int, int]] = {}
+        nxt = n
+        for pair in path:
+            if len(pair) == 1:
+                continue  # single-tensor "contraction" is a no-op
+            i, j = pair
+            a = avail[i]
+            b = avail[j]
+            for k in sorted((i, j), reverse=True):
+                avail.pop(k)
+            self.children[nxt] = (a, b)
+            avail.append(nxt)
+            nxt += 1
+        if len(avail) != 1:
+            # Disconnected network: contract remaining subtrees pairwise.
+            while len(avail) > 1:
+                a = avail.pop(0)
+                b = avail.pop(0)
+                self.children[nxt] = (a, b)
+                avail.append(nxt)
+                nxt += 1
+        self.root = avail[0]
+        self._compute_inds()
+
+    def _compute_inds(self):
+        """Per-node retained index sets (bottom-up)."""
+        n = self.n_leaves
+        # For each index: leaves it appears in.
+        appears = defaultdict(set)
+        for pos, inds in enumerate(self.inputs):
+            for i in inds:
+                appears[i].add(pos)
+        out_set = set(self.output)
+
+        # Leaf sets of each node.
+        self.node_inds: Dict[int, Tuple[str, ...]] = {}
+        self._leaf_sets: Dict[int, frozenset] = {}
+
+        def leaves_of(v):
+            if v < n:
+                return frozenset((v,))
+            a, b = self.children[v]
+            return leaves_of(a) | leaves_of(b)
+
+        order = self.topo_order()
+        for v in order:
+            if v < self.n_leaves:
+                self._leaf_sets[v] = frozenset((v,))
+                self.node_inds[v] = self.inputs[v]
+            else:
+                a, b = self.children[v]
+                ls = self._leaf_sets[a] | self._leaf_sets[b]
+                self._leaf_sets[v] = ls
+                cand = []
+                seen = set()
+                for i in self.node_inds[a] + self.node_inds[b]:
+                    if i in seen:
+                        continue
+                    seen.add(i)
+                    # Keep the index if it appears outside this subtree
+                    # or in the output.
+                    if i in out_set or not appears[i] <= ls:
+                        cand.append(i)
+                self.node_inds[v] = tuple(cand)
+
+    def topo_order(self) -> List[int]:
+        """Children before parents."""
+        order = []
+        stack = [self.root]
+        visited = set()
+        while stack:
+            v = stack.pop()
+            if v in visited:
+                continue
+            if v < self.n_leaves:
+                visited.add(v)
+                order.append(v)
+                continue
+            a, b = self.children[v]
+            if a in visited and b in visited:
+                visited.add(v)
+                order.append(v)
+            else:
+                stack.extend([v, a, b])
+        return order
+
+    # -- cost accounting (optionally with sliced indices removed) --------
+    def node_size(self, v, sliced=frozenset()) -> float:
+        return float(np.prod([self.size_dict[i]
+                              for i in self.node_inds[v]
+                              if i not in sliced], dtype=float))
+
+    def node_flops(self, v, sliced=frozenset()) -> float:
+        if v < self.n_leaves:
+            return 0.0
+        a, b = self.children[v]
+        inds = set(self.node_inds[a]) | set(self.node_inds[b])
+        return float(np.prod([self.size_dict[i] for i in inds
+                              if i not in sliced], dtype=float))
+
+    def total_flops(self, sliced=frozenset()) -> float:
+        return sum(self.node_flops(v, sliced) for v in self.children)
+
+    def max_size(self, sliced=frozenset()) -> float:
+        return max(self.node_size(v, sliced)
+                   for v in list(self.children) + list(
+                       range(self.n_leaves)))
+
+    def all_inds(self):
+        s = set()
+        for inds in self.inputs:
+            s.update(inds)
+        return s
+
+
+class PathInfo:
+    """Summary of a contraction path (mirrors the reference's use of
+    opt_einsum PathInfo: ``opt_cost`` and ``largest_intermediate``)."""
+
+    def __init__(self, tree: ContractionTree):
+        self.tree = tree
+        self.opt_cost = tree.total_flops()
+        self.largest_intermediate = tree.max_size()
+
+    def __repr__(self):
+        return (f"PathInfo(flops=2^{math.log2(max(self.opt_cost, 1)):.2f}, "
+                f"largest=2^"
+                f"{math.log2(max(self.largest_intermediate, 1)):.2f})")
+
+
+def _greedy_paths(inputs, output, size_dict, max_repeats, rng):
+    """opt_einsum random-greedy candidates."""
+    import opt_einsum as oe
+
+    symbols = {}
+
+    def _sym(ind):
+        s = symbols.get(ind)
+        if s is None:
+            s = oe.get_symbol(len(symbols))
+            symbols[ind] = s
+        return s
+
+    shapes = [tuple(size_dict[i] for i in inds) for inds in inputs]
+    eq = ','.join(''.join(_sym(i) for i in inds) for inds in inputs)
+    eq += '->' + ''.join(_sym(i) for i in output)
+    views = [FakeArray(s) for s in shapes]
+
+    paths = []
+    # deterministic greedy
+    try:
+        p, _ = oe.contract_path(eq, *views, optimize='greedy')
+        paths.append(p)
+    except Exception:
+        pass
+    if max_repeats > 1:
+        try:
+            opt = oe.RandomGreedy(max_repeats=max_repeats, parallel=False)
+            p, _ = oe.contract_path(eq, *views, optimize=opt)
+            paths.append(p)
+        except Exception:
+            pass
+    return paths
+
+
+class FakeArray:
+    """Shape-only stand-in for opt_einsum path search."""
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+        self.ndim = len(shape)
+
+
+def _bisection_path(inputs, output, size_dict, rng):
+    """KaHyPar-style recursive bisection: build the contraction tree
+    top-down by repeatedly splitting the tensor graph into two balanced
+    halves with small cut (networkx Kernighan–Lin), contracting each half
+    first."""
+    import networkx as nx
+
+    n = len(inputs)
+    appears = defaultdict(set)
+    for pos, inds in enumerate(inputs):
+        for i in inds:
+            appears[i].add(pos)
+
+    # ssa tree builder
+    children = {}
+    nxt = [n]
+
+    def build(group):
+        group = list(group)
+        if len(group) == 1:
+            return group[0]
+        if len(group) == 2:
+            v = nxt[0]
+            nxt[0] += 1
+            children[v] = (group[0], group[1])
+            return v
+        G = nx.Graph()
+        G.add_nodes_from(group)
+        gset = set(group)
+        for i, ps in appears.items():
+            ps = [p for p in ps if p in gset]
+            w = math.log2(size_dict[i])
+            for a in range(len(ps)):
+                for b in range(a + 1, len(ps)):
+                    if G.has_edge(ps[a], ps[b]):
+                        G[ps[a]][ps[b]]['weight'] += w
+                    else:
+                        G.add_edge(ps[a], ps[b], weight=w)
+        try:
+            half1, half2 = nx.algorithms.community.kernighan_lin_bisection(
+                G, weight='weight',
+                seed=int(rng.integers(2**31)))
+        except Exception:
+            half1 = set(group[:len(group) // 2])
+            half2 = set(group[len(group) // 2:])
+        if not half1 or not half2:
+            half1 = set(group[:len(group) // 2])
+            half2 = set(group[len(group) // 2:])
+        a = build(half1)
+        b = build(half2)
+        v = nxt[0]
+        nxt[0] += 1
+        children[v] = (a, b)
+        return v
+
+    build(range(n))
+
+    # Convert SSA children to shrinking-list path.
+    ssa_path = [children[v] for v in sorted(children)]
+    return _ssa_to_linear(ssa_path, n)
+
+
+def _ssa_to_linear(ssa_path, n):
+    """SSA pair list -> shrinking-list path (opt_einsum convention)."""
+    ids = list(range(n))
+    out = []
+    nxt = n
+    for (a, b) in ssa_path:
+        i, j = ids.index(a), ids.index(b)
+        out.append((min(i, j), max(i, j)))
+        for k in sorted((i, j), reverse=True):
+            ids.pop(k)
+        ids.append(nxt)
+        nxt += 1
+    return out
+
+
+def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),
+              max_repeats: int = 16, minimize: str = 'combo', seed=None,
+              verbose: bool = False) -> ContractionTree:
+    """Best-of-N contraction tree for the given network."""
+    rng = np.random.default_rng(seed)
+    if len(inputs) <= 2:
+        return ContractionTree(inputs, output, size_dict,
+                               [(0, 1)] if len(inputs) == 2 else [])
+    candidates = []
+    if 'greedy' in methods or 'kahypar' in methods:
+        for p in _greedy_paths(inputs, output, size_dict, max_repeats,
+                               rng):
+            candidates.append(p)
+    if ('bisection' in methods or 'kahypar' in methods) and \
+            len(inputs) > 3:
+        reps = max(1, max_repeats // 4)
+        for _ in range(reps):
+            try:
+                candidates.append(
+                    _bisection_path(inputs, output, size_dict, rng))
+            except Exception:
+                pass
+    if not candidates:
+        # trivial left-to-right path
+        candidates.append([(0, 1)] * (len(inputs) - 1))
+
+    def score(tree):
+        f, s = tree.total_flops(), tree.max_size()
+        if minimize == 'flops':
+            return (f, s)
+        if minimize == 'size':
+            return (s, f)
+        return (math.log2(max(f, 1)) + math.log2(max(s, 1)), f)
+
+    best = None
+    best_score = None
+    for p in candidates:
+        try:
+            tree = ContractionTree(inputs, output, size_dict, p)
+        except Exception:
+            continue
+        sc = score(tree)
+        if best is None or sc < best_score:
+            best, best_score = tree, sc
+    if best is None:
+        raise RuntimeError("No valid contraction path found.")
+    return best

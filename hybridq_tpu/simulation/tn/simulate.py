@@ -1,0 +1,158 @@
+"""Tensor-network simulation front-end.
+
+Mirrors the reference ``_simulate_tn`` (``simulation.py:784-1122``):
+compress(2) → build network with boundary tokens → simplify → path search
+→ slice → contract, with the two-phase ``tensor_only=True`` plan
+checkpointing (returns ``(TensorNetwork, (PathInfo, tree))`` that can be
+passed back as ``circuit=``/``optimize=``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from string import ascii_letters
+
+import numpy as np
+
+from hybridq_tpu.circuit import Circuit, utils
+from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
+                                                SlicedContractor)
+from hybridq_tpu.simulation.tn.network import TensorNetwork, build_tn
+from hybridq_tpu.simulation.tn.path import PathInfo, find_path
+from hybridq_tpu.simulation.tn.slicer import find_slices
+
+__all__ = ['simulate_tn']
+
+
+def simulate_tn(circuit, initial_state, final_state, optimize, backend,
+                complex_type, tensor_only: bool, verbose: bool, **kwargs):
+    """Contract a circuit (or a prebuilt network) as a sliced tensor
+    network."""
+    kwargs.setdefault('simplify_tn', True)
+    kwargs.setdefault('max_iterations', 1)
+    kwargs.setdefault('methods', ['greedy', 'bisection'])
+    kwargs.setdefault('max_time', 120)
+    kwargs.setdefault('max_repeats', 16)
+    kwargs.setdefault('minimize', 'combo')
+    kwargs.setdefault('target_largest_intermediate', 0)
+    kwargs.setdefault('max_largest_intermediate', 2**26)
+    kwargs.setdefault('temperatures', [1.0, 0.1, 0.01])
+    kwargs.setdefault('parallel', None)
+    kwargs.setdefault('max_n_slices', None)
+    kwargs.setdefault('return_info', False)
+    kwargs.setdefault('devices', None)
+
+    info_dict = {}
+    if optimize == 'tn':
+        optimize = 'cotengra'
+
+    if isinstance(circuit, Circuit):
+        qubits = circuit.all_qubits
+        n_qubits = len(qubits)
+        initial_state = '.' * n_qubits if initial_state is None else \
+            initial_state
+        final_state = '.' * n_qubits if final_state is None else final_state
+
+        for state, sname in ((initial_state, 'initial_state'),
+                             (final_state, 'final_state')):
+            if not isinstance(state, str):
+                raise ValueError(f"'{sname}' must be a valid string.")
+            if set(state) - set('01+-.' + ascii_letters):
+                raise ValueError(f"'{sname}' contains invalid symbols.")
+            if len(state) != n_qubits:
+                raise ValueError(
+                    f"'{sname}' has the wrong number of qubits "
+                    f"(expected {n_qubits}, got {len(state)})")
+
+        if 2**(initial_state.count('.') + final_state.count('.')) > \
+                kwargs['max_largest_intermediate']:
+            raise MemoryError(
+                "Memory for the given number of open qubits exceeds the "
+                "'max_largest_intermediate'.")
+
+        # Compress into 2-qubit blocks (reference default for TN).
+        compress = kwargs.get('compress', 2)
+        if compress:
+            max_k = compress['max_n_qubits'] if isinstance(
+                compress, dict) else compress
+            blocks = utils.compress(
+                circuit, max_k,
+                **({k: v for k, v in compress.items()
+                    if k != 'max_n_qubits'}
+                   if isinstance(compress, dict) else {}))
+            circuit = Circuit(
+                utils.to_matrix_gate(c, complex_type=complex_type)
+                for c in blocks)
+
+        net, output_order = build_tn(circuit, initial_state, final_state,
+                                     complex_type=complex_type,
+                                     simplify=bool(kwargs['simplify_tn']))
+
+        # Path search (host CPU combinatorics).
+        t0 = time.time()
+        inputs = [t.inds for t in net.tensors]
+        size_dict = {}
+        for t in net.tensors:
+            for i, d in zip(t.inds, t.data.shape):
+                size_dict[i] = d
+        tree = find_path(inputs, output_order, size_dict,
+                         methods=kwargs['methods'],
+                         max_repeats=kwargs['max_repeats'],
+                         minimize=kwargs['minimize'], verbose=verbose)
+        info = PathInfo(tree)
+        if verbose:
+            print(f'# Path search: {time.time()-t0:.2f}s, {info}',
+                  file=sys.stderr)
+
+        if tensor_only:
+            return net, (info, tree)
+    else:
+        # Prebuilt network (two-phase reuse).
+        if isinstance(circuit, TensorNetwork):
+            net = circuit
+        else:
+            raise ValueError(f"'{type(circuit).__name__}' not supported.")
+        try:
+            info, tree = optimize
+        except (TypeError, ValueError):
+            raise ValueError(
+                "When passing a TensorNetwork, 'optimize' must be the "
+                "(PathInfo, tree) pair returned by tensor_only=True.")
+        outer = net.outer_inds
+        from hybridq_tpu.utils import sort
+        i_inds = sort([x for x in outer if x.endswith('_i')],
+                      key=lambda x: int(x.split('_')[-2]))
+        f_inds = sort([x for x in outer if x.endswith('_f')],
+                      key=lambda x: int(x.split('_')[-2]))
+        output_order = i_inds + f_inds
+
+    # Slice to fit memory.
+    sliced, cost = find_slices(
+        tree, target_size=kwargs['max_largest_intermediate'])
+    info_dict.update({
+        'flops': info.opt_cost,
+        'largest_intermediate': info.largest_intermediate,
+        'n_slices': cost.nslices,
+        'total_flops': cost.total_flops,
+    })
+    if verbose:
+        print(f"# Slices: {cost.nslices} "
+              f"(max size 2^{np.log2(max(cost.max_size, 1)):.1f}, "
+              f"total flops 2^{np.log2(max(cost.total_flops, 1)):.1f})",
+              file=sys.stderr)
+    if kwargs['max_n_slices'] and cost.nslices > kwargs['max_n_slices']:
+        raise RuntimeError(
+            f"Too many slices ({cost.nslices} > {kwargs['max_n_slices']})")
+
+    plan = ContractionPlan(tree, sliced)
+    sc = SlicedContractor(plan, net.tensors, output_order,
+                          complex_type=complex_type)
+    t0 = time.time()
+    out = sc.contract(backend=backend, devices=kwargs['devices'],
+                      verbose=verbose)
+    info_dict['runtime (s)'] = time.time() - t0
+
+    if kwargs['return_info']:
+        return out, info_dict
+    return out

@@ -64,7 +64,9 @@ def test_evolution_initial_states(initial):
 
 def test_evolution_array_initial_state():
     c = get_rqc(4, 15)
-    psi0 = np.random.randn(2, 2, 2, 2) + 1j * np.random.randn(2, 2, 2, 2)
+    n = len(c.all_qubits)  # random circuits may not touch every label
+    shape = (2,) * n
+    psi0 = np.random.randn(*shape) + 1j * np.random.randn(*shape)
     psi0 /= np.linalg.norm(psi0)
     expected = _oracle(c, psi0)
     psi = simulate(c, initial_state=psi0.astype('complex64'),

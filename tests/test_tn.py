@@ -1,0 +1,151 @@
+"""Tensor-network engine tests: differential against the evolution engine
+(reference strategy, ``tests/tests.py:2210-2332``)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hybridq_tpu.circuit import Circuit, utils
+from hybridq_tpu.gate import Gate
+from hybridq_tpu.extras.random import get_rqc
+from hybridq_tpu.simulation import simulate, prepare_state
+
+ATOL = 1e-4
+
+
+def _evolution(c, initial_state='0'):
+    return np.asarray(
+        simulate(c, initial_state=initial_state,
+                 complex_type='complex128'))
+
+
+@pytest.mark.parametrize('n,m', [(4, 20), (6, 30)])
+def test_tn_full_amplitudes(n, m):
+    c = get_rqc(n, m)
+    expected = _evolution(c)
+    got = simulate(c, initial_state='0', final_state='.',
+                   optimize='tn', backend='numpy')
+    np.testing.assert_allclose(np.asarray(got), expected, atol=ATOL)
+
+
+def test_tn_jax_backend_matches_numpy():
+    c = get_rqc(5, 25)
+    a = simulate(c, initial_state='0', final_state='.', optimize='tn',
+                 backend='numpy')
+    b = simulate(c, initial_state='0', final_state='.', optimize='tn',
+                 backend='jax')
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL)
+
+
+def test_tn_single_amplitude():
+    c = get_rqc(5, 25)
+    psi = _evolution(c)
+    amp = simulate(c, initial_state='0', final_state='00000',
+                   optimize='tn', backend='numpy')
+    np.testing.assert_allclose(complex(np.asarray(amp)), psi[(0,) * 5],
+                               atol=ATOL)
+    amp2 = simulate(c, initial_state='0', final_state='01011',
+                    optimize='tn', backend='numpy')
+    np.testing.assert_allclose(complex(np.asarray(amp2)),
+                               psi[0, 1, 0, 1, 1], atol=ATOL)
+
+
+def test_tn_open_final_qubits():
+    """Partially open final state: marginals match evolution."""
+    n = 5
+    c = get_rqc(n, 20)
+    psi = _evolution(c)
+    got = simulate(c, initial_state='0', final_state='0..' + '0' * (n - 3),
+                   optimize='tn', backend='numpy')
+    expected = psi[0, :, :, 0, 0]
+    np.testing.assert_allclose(np.asarray(got), expected, atol=ATOL)
+
+
+def test_tn_plus_initial_state():
+    c = get_rqc(4, 15)
+    psi = _evolution(c, '+')
+    got = simulate(c, initial_state='+', final_state='.', optimize='tn',
+                   backend='numpy')
+    np.testing.assert_allclose(np.asarray(got), psi, atol=ATOL)
+
+
+def test_tn_forced_slicing_matches():
+    """Small max_largest_intermediate forces slicing; result unchanged.
+    (The output legs must still fit — the reference also raises if the
+    open legs alone exceed the cap — so slice a closed amplitude.)"""
+    n = 6
+    c = get_rqc(n, 30)
+    psi = _evolution(c)
+    full = simulate(c, initial_state='0', final_state='0' * n,
+                    optimize='tn', backend='numpy')
+    out, info = simulate(c, initial_state='0', final_state='0' * n,
+                         optimize='tn', backend='numpy',
+                         max_largest_intermediate=2**3,
+                         return_info=True)
+    assert info['n_slices'] > 1
+    np.testing.assert_allclose(complex(np.asarray(out)),
+                               complex(np.asarray(full)), atol=ATOL)
+    np.testing.assert_allclose(complex(np.asarray(out)), psi[(0,) * n],
+                               atol=ATOL)
+
+
+def test_tn_sliced_jax_and_mesh():
+    n = 6
+    c = get_rqc(n, 30)
+    psi = _evolution(c)
+    got = simulate(c, initial_state='0', final_state='0' * n,
+                   optimize='tn', backend='jax',
+                   max_largest_intermediate=2**3)
+    np.testing.assert_allclose(complex(np.asarray(got)), psi[(0,) * n],
+                               atol=ATOL)
+    if len(jax.devices()) >= 4:
+        got2 = simulate(c, initial_state='0', final_state='0' * n,
+                        optimize='tn', backend='jax',
+                        max_largest_intermediate=2**3,
+                        devices=jax.devices()[:4])
+        np.testing.assert_allclose(complex(np.asarray(got2)),
+                                   psi[(0,) * n], atol=ATOL)
+
+
+def test_tn_two_phase_plan_reuse():
+    """tensor_only=True returns (net, (info, tree)) reusable later with a
+    different memory limit (reference ``tests.py:2307-2332``)."""
+    n = 5
+    c = get_rqc(n, 20)
+    expected = _evolution(c)
+    net, plan = simulate(c, initial_state='0', final_state='.',
+                         optimize='tn', tensor_only=True)
+    got = simulate(net, optimize=plan, backend='numpy',
+                   max_largest_intermediate=2**(n - 1))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=ATOL)
+
+
+def test_tn_trace_letters():
+    """Letter tokens trace qubits: tracing the final leg of an unmeasured
+    qubit of a Bell pair gives the reduced density... here we check
+    Tr(U) via all-letter initial+final states."""
+    c = Circuit([Gate('H', [0])])
+    got = simulate(c, initial_state='a', final_state='a', optimize='tn',
+                   backend='numpy', compress=0, simplify=False)
+    # Tr(H) = 0
+    np.testing.assert_allclose(complex(np.asarray(got)),
+                               np.trace(Gate('H').matrix()), atol=ATOL)
+    c2 = Circuit([Gate('T', [0]), Gate('X', [1])])
+    got2 = simulate(c2, initial_state='ab', final_state='ab',
+                    optimize='tn', backend='numpy', compress=0,
+                    simplify=False)
+    np.testing.assert_allclose(
+        complex(np.asarray(got2)),
+        np.trace(Gate('T').matrix()) * np.trace(Gate('X').matrix()),
+        atol=ATOL)
+
+
+def test_tn_return_info():
+    c = get_rqc(4, 10)
+    out, info = simulate(c, initial_state='0', final_state='.',
+                         optimize='tn', backend='numpy',
+                         return_info=True)
+    for k in ('flops', 'largest_intermediate', 'n_slices',
+              'total_flops', 'runtime (s)'):
+        assert k in info
