@@ -3,20 +3,27 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Workload: random 4-qubit fused unitaries (the reference's default
-compression level, ``simulation.py:314``) applied to the largest state that
-fits on one chip.  ``vs_baseline`` compares against the reference
-HybridQ's own einsum engine measured on this host's CPU at a common size
-(26 qubits), scaled per gate application — i.e. the number reported is
-"times faster than the reference on one x86 node, per chip".
+Workload: random fused 4-qubit unitaries at random qubit positions on the
+largest single-chip state (the reference's default compression level,
+``simulation.py:314``), applied with the runtime-position indexed engine
+(one XLA compile per gate-size class).
+
+``vs_baseline`` is measured, not assumed: the reference HybridQ C++/AVX
+core (``include/U.h``) is compiled from the mounted sources and timed on
+this host's CPU with the same workload at a common size; the number is
+(TPU gate-apps/s) / (reference C++ gate-apps/s on this host).
 """
 
+import ctypes
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_REF_BUILD_DIR = '/tmp/hybridq_ref_core'
 
 
 def _rand_unitary(k, rng):
@@ -26,134 +33,153 @@ def _rand_unitary(k, rng):
     return q.astype('complex64')
 
 
-def _gate_layers(n, k, n_gates, rng):
-    """Random k-qubit gate positions covering the register."""
-    axes_list = []
+def _workload(n, k, n_gates, rng, min_bit=0):
+    """Random gate matrices + qubit positions (dense indices)."""
+    gates = []
     for _ in range(n_gates):
-        qs = tuple(int(x) for x in rng.choice(n, k, replace=False))
-        axes_list.append(qs)
-    return axes_list
+        qs = tuple(int(x)
+                   for x in rng.choice(n - min_bit, k, replace=False))
+        gates.append((_rand_unitary(k, rng), qs))
+    return gates
 
 
-def bench_tpu(n, k=4, n_gates=8, seed=0):
-    """Time jitted evolution of ``n_gates`` fused k-qubit gates at n
-    qubits.  Returns gate applications per second."""
-    import jax.numpy as jnp
-
-    from hybridq_tpu.simulation.statevector import make_evolver
+def bench_tpu(n, k=4, n_gates=8, seed=0, reps=3):
+    """Indexed-engine throughput: returns (gates/s, compile_s)."""
+    from hybridq_tpu.simulation.kernels import IndexedEvolver
 
     rng = np.random.default_rng(seed)
-    axes_list = _gate_layers(n, k, n_gates, rng)
-    mats = []
-    for _ in range(n_gates):
-        u = _rand_unitary(k, rng)
-        mats.append((jnp.asarray(u.real.astype('float32')),
-                     jnp.asarray(u.imag.astype('float32'))))
+    gates = _workload(n, k, n_gates, rng)
+    ev = IndexedEvolver(n)
 
-    re = jnp.zeros((2**n,), dtype='float32').at[0].set(1).reshape((2,) * n)
-    im = jnp.zeros_like(re)
-    run = make_evolver(axes_list, n, 'float32')
-    # Warm-up / compile.
-    state = run((re, im), mats)
-    state[1].block_until_ready()
-
-    n_rep = 3
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        state = run(state, mats)
-    state[1].block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
-    return n_gates / dt, dt
+    state = ev.prepare_state('0' * n)
+    # Warm-up: compiles one kernel per (k_hi, k_lo) class.
+    for U, qs in gates:
+        state = ev.apply_gate(state, U, qs)
+    _ = float(np.asarray(state[0][:1])[0])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for U, qs in gates:
+            state = ev.apply_gate(state, U, qs)
+    _ = float(np.asarray(state[0][:1])[0])
+    dt = (time.perf_counter() - t0) / reps
+    return n_gates / dt, compile_s
 
 
-def bench_reference_cpu(n, k=4, n_gates=6, seed=0, timeout_s=120):
-    """Reference HybridQ einsum engine (numpy backend) on this host's CPU;
-    returns gate applications per second, or None if unavailable."""
-    try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), 'tests'))
-        from _ref_oracle import import_reference
-        if import_reference() is None:
-            return None
-        from opt_einsum import contract
-        rng = np.random.default_rng(seed)
-        psi = np.zeros((2,) * n, dtype='complex64')
-        psi[(0,) * n] = 1
-        # Time raw per-gate contraction exactly as the reference einsum
-        # engine does per block (simulation.py:707-758).
-        from opt_einsum import get_symbol
-        axes_list = _gate_layers(n, k, n_gates, rng)
-        t0 = time.perf_counter()
-        for qs in axes_list:
-            U = _rand_unitary(k, rng).reshape((2,) * (2 * k))
-            sym = {q: get_symbol(q) for q in range(n)}
-            path_state = ''.join(sym[q] for q in range(n))
-            out_sym = dict(sym)
-            for i, q in enumerate(qs):
-                out_sym[q] = get_symbol(n + i)
-            lhs = (''.join(out_sym[q] for q in qs) +
-                   ''.join(sym[q] for q in qs) + ',' + path_state)
-            rhs = ''.join(out_sym[q] for q in range(n))
-            psi = contract(lhs + '->' + rhs, U, psi)
-            if time.perf_counter() - t0 > timeout_s:
+def _build_reference_core():
+    """Compile the reference C++/AVX core (once) and return the ctypes
+    library, or None."""
+    so = os.path.join(_REF_BUILD_DIR, 'hybridq.so')
+    if not os.path.exists(so):
+        try:
+            os.makedirs(_REF_BUILD_DIR, exist_ok=True)
+            inc = '/root/reference/include'
+            if not os.path.isdir(inc):
                 return None
-        dt = time.perf_counter() - t0
-        return n_gates / dt
-    except Exception:
+            subprocess.run(
+                ['g++', '-Ofast', '-ffast-math', '-march=native',
+                 '-std=c++17', '-shared', '-fPIC', '-fopenmp',
+                 '-DLOG2_PACK_SIZE=3', '-I', inc,
+                 os.path.join(inc, 'python_U.cpp'), '-o', so],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        return ctypes.cdll.LoadLibrary(so)
+    except OSError:
         return None
 
 
-def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
-    """Largest n whose split-f32 state plus working buffers fit in HBM.
+def bench_reference_cpp(n, k=4, n_gates=8, seed=0, reps=3):
+    """Reference HybridQ C++ core on this host's CPU (same workload);
+    gate positions avoid the SIMD-packed bits as the reference requires
+    (``simulation.py:556-630``)."""
+    lib = _build_reference_core()
+    if lib is None:
+        return None
+    pack = 3
+    rng = np.random.default_rng(seed)
+    gates = _workload(n, k, n_gates, rng, min_bit=pack)
 
-    Peak concurrent buffers during a gate application: inputs (re, im) +
-    outputs (re', im') + partial products ≈ 6 arrays of 4·2^n bytes; use a
-    conservative 24·2^n ≤ 0.9·HBM."""
+    apply_U = lib.apply_U_float32
+    fptr = ctypes.POINTER(ctypes.c_float)
+    uptr = ctypes.POINTER(ctypes.c_uint32)
+    apply_U.argtypes = [fptr, fptr, fptr, uptr, ctypes.c_uint32,
+                        ctypes.c_uint32]
+
+    re = np.zeros(2**n, dtype='float32')
+    im = np.zeros(2**n, dtype='float32')
+    re[0] = 1
+
+    def run_once():
+        for U, qs in gates:
+            Uc = np.ascontiguousarray(U, dtype='complex64')
+            pos = np.asarray([pack + q for q in qs], dtype='uint32')
+            r = apply_U(re.ctypes.data_as(fptr), im.ctypes.data_as(fptr),
+                        Uc.ctypes.data_as(fptr), pos.ctypes.data_as(uptr),
+                        n, len(pos))
+            if r != 0:
+                raise RuntimeError('reference core error')
+
+    run_once()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_once()
+    dt = (time.perf_counter() - t0) / reps
+    return n_gates / dt
+
+
+def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
+    """Largest n whose split-f32 state plus gather/scatter working set
+    fits in HBM (~6 state-size buffers peak)."""
     import jax
-    d = jax.devices()[0]
     hbm = None
     try:
-        stats = d.memory_stats()
+        stats = jax.devices()[0].memory_stats()
         if stats:
             hbm = stats.get('bytes_limit')
     except Exception:
         pass
     hbm = hbm or default_hbm_bytes
-    n = int(np.floor(np.log2(0.9 * hbm / 24)))
-    return n
+    return int(np.floor(np.log2(0.9 * hbm / 24)))
 
 
 def main():
-    # Headline: largest state that fits on one chip (computed from HBM,
-    # with a one-step fallback — compiles over the test tunnel are slow,
-    # so avoid long trial ladders).
     n_max = _max_qubits_single_chip()
     value = None
     n_used = None
     for n in (n_max, n_max - 1):
         try:
-            value, dt = bench_tpu(n)
+            value, compile_s = bench_tpu(n)
             n_used = n
             break
         except Exception as e:
-            sys.stderr.write(f"# {n}q failed: {type(e).__name__}\n")
-            continue
+            sys.stderr.write(f"# {n}q failed: {type(e).__name__}: "
+                             f"{str(e)[:100]}\n")
     if value is None:
         print(json.dumps({"metric": "gate_applications_per_s_per_chip",
-                          "value": 0.0, "unit": "gates/s",
-                          "vs_baseline": 0.0}))
+                          "value": 0.0, "unit": "fused-4q-gates/s",
+                          "vs_baseline": None}))
         return
+    sys.stderr.write(f"# {n_used}q: {value:.1f} gates/s "
+                     f"(compile {compile_s:.0f}s)\n")
 
-    # Baseline ratio at a common size both sides can run.
-    n_common = 26
-    ref = bench_reference_cpu(n_common)
-    if ref:
-        mine_common, _ = bench_tpu(n_common)
-        vs = mine_common / ref
-    else:
-        vs = None
+    # Baseline at a size both sides can hold.
+    n_common = min(26, n_used)
+    vs = None
+    try:
+        ref = bench_reference_cpp(n_common)
+        if ref:
+            mine_common, _ = bench_tpu(n_common)
+            vs = mine_common / ref
+            sys.stderr.write(
+                f"# {n_common}q: tpu {mine_common:.1f} vs reference C++ "
+                f"{ref:.1f} gates/s ({os.cpu_count()} host cores)\n")
+    except Exception as e:
+        sys.stderr.write(f"# baseline failed: {type(e).__name__}\n")
 
-    sys.stderr.write(f"# n={n_used}q fused-4q gates, "
-                     f"{value:.1f} gates/s/chip\n")
     print(json.dumps({
         "metric": f"gate_applications_per_s_per_chip_{n_used}q",
         "value": round(value, 2),

@@ -181,7 +181,7 @@ def _simulate_evolution(circuit, qubits, initial_state, final_state, sub,
 
     t0 = _time_mod.time()
 
-    if sub == 'tpu':
+    if sub in ('tpu', 'indexed'):
         import jax
         if complex_type == np.dtype('complex128') and \
                 not jax.config.read('jax_enable_x64'):
@@ -190,6 +190,14 @@ def _simulate_evolution(circuit, qubits, initial_state, final_state, sub,
             # complex128 request keeps full precision.
             psi = _evolve_einsum(blocks, qubits, qubit_index, initial_state,
                                  complex_type, 'numpy', 'auto', kwargs)
+        elif sub == 'indexed' or n_qubits > kwargs.get(
+                'traced_engine_max_qubits', 22):
+            # Runtime-position kernels: one compile per gate-size class
+            # regardless of circuit depth (XLA compile time scales with
+            # program size, which is prohibitive for deep circuits on
+            # wide registers).
+            psi = _evolve_indexed(blocks, qubits, qubit_index,
+                                  initial_state, complex_type, kwargs)
         else:
             psi = _evolve_tpu(blocks, qubits, qubit_index, initial_state,
                               complex_type, kwargs)
@@ -247,6 +255,48 @@ def _evolve_tpu(blocks, qubits, qubit_index, initial_state, complex_type,
             state = (jnp.asarray(re_h), jnp.asarray(im_h))
     return merge_complex(np.asarray(state[0]), np.asarray(state[1]),
                          complex_type)
+
+
+def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
+                    complex_type, kwargs):
+    """Runtime-position engine: compiled once per gate-size class; the
+    state stays in canonical bit order on device."""
+    import jax.numpy as jnp
+
+    from hybridq_tpu.simulation.kernels import IndexedEvolver
+    from hybridq_tpu.simulation.statevector import (merge_complex,
+                                                    split_complex)
+
+    n_qubits = len(qubits)
+    ev = IndexedEvolver(n_qubits,
+                        float_type=np.real(
+                            np.zeros(1, dtype=complex_type)).dtype)
+    if isinstance(initial_state, str):
+        state = ev.prepare_state(initial_state)
+    else:
+        re_h, im_h = split_complex(initial_state, ev.float_type)
+        state = (jnp.asarray(re_h.reshape(-1)),
+                 jnp.asarray(im_h.reshape(-1)))
+
+    for kind, payload in _segment_blocks(blocks):
+        if kind == 'mat':
+            gates = [utils.to_matrix_gate(b, complex_type=complex_type)
+                     if len(b) > 1 else b[0] for b in payload]
+            state = ev.apply_gates(state, gates, qubit_index)
+        else:
+            host_psi = merge_complex(
+                np.asarray(state[0]).reshape((2,) * n_qubits),
+                np.asarray(state[1]).reshape((2,) * n_qubits),
+                complex_type)
+            new_psi, new_order = payload(host_psi, tuple(qubits))
+            if tuple(new_order) != tuple(qubits):
+                raise RuntimeError("'order' has changed.")
+            re_h, im_h = split_complex(new_psi, ev.float_type)
+            state = (jnp.asarray(re_h.reshape(-1)),
+                     jnp.asarray(im_h.reshape(-1)))
+    if kwargs['block_until_ready']:
+        state[1].block_until_ready()
+    return ev.gather(state, complex_type)
 
 
 def _evolve_einsum(blocks, qubits, qubit_index, initial_state, complex_type,
