@@ -109,8 +109,15 @@ def bench_reference_cpp(n, k=4, n_gates=8, seed=0, reps=3):
     apply_U.argtypes = [fptr, fptr, fptr, uptr, ctypes.c_uint32,
                         ctypes.c_uint32]
 
-    re = np.zeros(2**n, dtype='float32')
-    im = np.zeros(2**n, dtype='float32')
+    def _aligned_zeros(count, align=128):
+        # 128-byte alignment: the core upgrades to 32-float packs when
+        # all gate positions allow it.
+        buf = np.zeros(count * 4 + align, dtype=np.uint8)
+        off = (-buf.ctypes.data) % align
+        return buf[off:off + count * 4].view('float32')
+
+    re = _aligned_zeros(2**n)
+    im = _aligned_zeros(2**n)
     re[0] = 1
 
     def run_once():
@@ -147,41 +154,36 @@ def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
 
 
 def main():
-    n_max = _max_qubits_single_chip()
+    # One common size for both sides: the shared XLA compile service has
+    # multi-minute, high-variance latency, so avoid extra program sizes.
+    n = min(28, _max_qubits_single_chip())
     value = None
-    n_used = None
-    for n in (n_max, n_max - 1):
-        try:
-            value, compile_s = bench_tpu(n)
-            n_used = n
-            break
-        except Exception as e:
-            sys.stderr.write(f"# {n}q failed: {type(e).__name__}: "
-                             f"{str(e)[:100]}\n")
+    try:
+        value, compile_s = bench_tpu(n)
+        sys.stderr.write(f"# {n}q TPU: {value:.2f} gates/s "
+                         f"(compile {compile_s:.0f}s)\n")
+    except Exception as e:
+        sys.stderr.write(f"# {n}q failed: {type(e).__name__}: "
+                         f"{str(e)[:120]}\n")
     if value is None:
         print(json.dumps({"metric": "gate_applications_per_s_per_chip",
                           "value": 0.0, "unit": "fused-4q-gates/s",
                           "vs_baseline": None}))
         return
-    sys.stderr.write(f"# {n_used}q: {value:.1f} gates/s "
-                     f"(compile {compile_s:.0f}s)\n")
 
-    # Baseline at a size both sides can hold.
-    n_common = min(26, n_used)
     vs = None
     try:
-        ref = bench_reference_cpp(n_common)
+        ref = bench_reference_cpp(n)
         if ref:
-            mine_common, _ = bench_tpu(n_common)
-            vs = mine_common / ref
+            vs = value / ref
             sys.stderr.write(
-                f"# {n_common}q: tpu {mine_common:.1f} vs reference C++ "
-                f"{ref:.1f} gates/s ({os.cpu_count()} host cores)\n")
+                f"# {n}q reference C++ on host CPU: {ref:.2f} gates/s "
+                f"({os.cpu_count()} cores) -> {vs:.1f}x\n")
     except Exception as e:
         sys.stderr.write(f"# baseline failed: {type(e).__name__}\n")
 
     print(json.dumps({
-        "metric": f"gate_applications_per_s_per_chip_{n_used}q",
+        "metric": f"gate_applications_per_s_per_chip_{n}q",
         "value": round(value, 2),
         "unit": "fused-4q-gates/s",
         "vs_baseline": round(vs, 2) if vs else None,

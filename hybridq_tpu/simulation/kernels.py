@@ -11,19 +11,22 @@ arguments, not template parameters).  This module is the XLA equivalent:
     in fixed canonical bit order (bit ``n-1-i`` of the index holds qubit
     ``i`` — C order of the ``(2,)*n`` view).  The data never gets
     relabeled or unpermuted;
-  * one jitted program per (n, k_hi, k_lo) gate-size class takes the
-    gate matrix **and the qubit bit positions as runtime arguments**;
-    applying any k-qubit gate anywhere costs zero recompiles;
+  * one jitted program per (n, k_hi, k_lo) gate-size class takes the gate
+    matrix and *permutation index vectors* as runtime arguments; applying
+    any k-qubit gate anywhere costs zero recompiles.  The permutations
+    (row/column reorderings that move the gate bits outermost, plus their
+    inverses) are computed host-side with vectorized bit arithmetic — the
+    pdep/pext index games of the reference (``include/utils.h:79-122``) —
+    and cached on device per position set;
   * the state is viewed as a ``[2^(n-L), 2^L]`` matrix (rows of 2^L
-    contiguous amplitudes — multiples of the f32 (8,128) tile).  Gate
-    bits ≥ L index *rows*: applying the gate is a gather of 2^k_hi row
-    blocks, four real MXU matmuls, and a scatter back.  Gate bits < L
-    index *columns* within rows and gather on the minor axis.
+    contiguous amplitudes — multiples of the f32 (8,128) tile).  A gate
+    application is: gather rows (and/or columns) by the permutation, four
+    real MXU matmuls, gather back by the inverse.  No XLA scatter
+    (scatter blew up compile times at large n).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np
@@ -35,37 +38,43 @@ DEFAULT_ROW_BITS = 10  # 2^10 f32 = one (8, 128) tile of 4 KiB
 _KERNEL_CACHE: dict = {}
 
 
-def _expand_bits(g, sorted_pos, k):
-    """Insert a zero bit at each of ``sorted_pos`` (ascending, traced)
-    into every integer of ``g`` — the pdep-style index expansion of the
-    reference (``include/utils.h:79-105``)."""
+def host_perm_and_inverse(pos, n_bits: int, major: bool = False):
+    """Permutation of ``[0, 2^n_bits)`` moving the bits at ``pos`` (gate
+    MSB first) to the bottom (``major=False``: gate index minor-most) or
+    the top (``major=True``: gate index most significant), plus its
+    inverse.  Vectorized numpy bit arithmetic — the pdep/pext index games
+    of the reference (``include/utils.h:79-122``) — in microseconds.
+    """
+    pos = list(int(p) for p in pos)
+    k = len(pos)
+    size = 2**n_bits
+
+    g = np.arange(2**(n_bits - k), dtype=np.int64)
     idx = g
-    for j in range(k):
-        p = sorted_pos[j]
+    for p in sorted(pos):
         low = idx & ((1 << p) - 1)
         idx = ((idx >> p) << (p + 1)) | low
-    return idx
+    offs = np.zeros(2**k, dtype=np.int64)
+    b = np.arange(2**k, dtype=np.int64)
+    for j, p in enumerate(pos):
+        offs |= ((b >> (k - 1 - j)) & 1) << p
+    if major:
+        # perm[(b << (n_bits-k)) | g] = expand(g) + offset(b)
+        perm = (idx[None, :] + offs[:, None]).reshape(size)
+    else:
+        # perm[(g << k) | b] = expand(g) + offset(b)
+        perm = (idx[:, None] + offs[None, :]).reshape(size)
 
-
-def _offsets(pos, k):
-    """offsets[b] = sum_j bit_j(b) << pos[j] for b in [0, 2^k)."""
-    import jax.numpy as jnp
-
-    b = jnp.arange(2**k, dtype=jnp.int32)
-    # bit j of b is the significance of pos[j]: b's MSB pairs with pos[0].
-    bits = (b[:, None] >> jnp.arange(k - 1, -1, -1, dtype=jnp.int32)[None])\
-        & 1
-    return jnp.sum(bits << pos[None, :], axis=1)
+    inv = np.empty(size, dtype=np.int64)
+    inv[perm] = np.arange(size, dtype=np.int64)
+    return perm.astype(np.int32), inv.astype(np.int32)
 
 
 def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
-    """Jitted ``(re, im, Ur, Ui, hi_pos, lo_pos) -> (re, im)``.
+    """Jitted gate application for a (k_hi, k_lo) gate-size class.
 
-    ``hi_pos``: bit positions (relative to the row index, i.e. already
-    shifted down by L) of the gate qubits living in the row part,
-    most-significant gate bit first.  ``lo_pos``: positions < L of the
-    gate qubits in the column part.  The gate matrix must be ordered so
-    its index bits are ``[hi..., lo...]``.
+    Signature (unused perm arguments omitted per class):
+    ``(re, im, Ur, Ui, [rperm, rinv], [cperm, cinv]) -> (re, im)``.
     """
     import jax
     import jax.numpy as jnp
@@ -76,59 +85,41 @@ def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
     Rg = R // 2**k_hi
     Cg = C // 2**k_lo
 
-    def apply(re, im, Ur, Ui, hi_pos, lo_pos):
+    def apply(re, im, Ur, Ui, rperm=None, rinv=None, cperm=None,
+              cinv=None):
+        """Row permutation puts the hi gate bits minor within rows; the
+        column permutation puts the lo gate bits *major* within columns —
+        so the flat view ``[Rg, 2^kh, 2^kl, Cg]`` has all gate bits
+        adjacent and merges into ``[Rg, 2^k, Cg]`` by pure reshape.  The
+        minor axis stays ≥ 64 wide throughout (tile padding on small
+        minor dims caused compile-time HBM explosions)."""
         re = jnp.reshape(re, (R, C))
         im = jnp.reshape(im, (R, C))
-
-        # Row gather ------------------------------------------------------
         if k_hi:
-            row_base = _expand_bits(
-                jnp.arange(Rg, dtype=jnp.int32), jnp.sort(hi_pos), k_hi)
-            row_idx = row_base[None, :] + _offsets(hi_pos, k_hi)[:, None]
-            g_re = re[row_idx]          # [2^kh, Rg, C]
-            g_im = im[row_idx]
-        else:
-            row_idx = None
-            g_re = re[None]             # [1, R, C]
-            g_im = im[None]
-
-        # Column gather ---------------------------------------------------
+            re = jnp.take(re, rperm, axis=0)
+            im = jnp.take(im, rperm, axis=0)
         if k_lo:
-            col_base = _expand_bits(
-                jnp.arange(Cg, dtype=jnp.int32), jnp.sort(lo_pos), k_lo)
-            col_idx = col_base[None, :] + _offsets(lo_pos, k_lo)[:, None]
-            s_re = jnp.take(g_re, col_idx, axis=2)  # [2^kh, Rg, 2^kl, Cg]
-            s_im = jnp.take(g_im, col_idx, axis=2)
-        else:
-            col_idx = None
-            s_re = g_re[:, :, None, :]
-            s_im = g_im[:, :, None, :]
+            re = jnp.take(re, cperm, axis=1)
+            im = jnp.take(im, cperm, axis=1)
 
-        # Contract on the MXU --------------------------------------------
-        # [2^kh, Rg, 2^kl, Cg] -> [2^kh * 2^kl, Rg * Cg]
-        t_re = jnp.transpose(s_re, (0, 2, 1, 3)).reshape(2**k, -1)
-        t_im = jnp.transpose(s_im, (0, 2, 1, 3)).reshape(2**k, -1)
-        o_re = Ur @ t_re - Ui @ t_im
-        o_im = Ur @ t_im + Ui @ t_re
-        o_re = jnp.transpose(
-            o_re.reshape(2**k_hi, 2**k_lo, Rg, Cg), (0, 2, 1, 3))
-        o_im = jnp.transpose(
-            o_im.reshape(2**k_hi, 2**k_lo, Rg, Cg), (0, 2, 1, 3))
+        re = re.reshape(Rg, 2**k, Cg)
+        im = im.reshape(Rg, 2**k, Cg)
 
-        # Scatter back ----------------------------------------------------
+        # out[r, b, c] = Σ_B U[b, B] A[r, B, c]
+        o_re = jnp.einsum('rBc,bB->rbc', re, Ur) - \
+            jnp.einsum('rBc,bB->rbc', im, Ui)
+        o_im = jnp.einsum('rBc,bB->rbc', im, Ur) + \
+            jnp.einsum('rBc,bB->rbc', re, Ui)
+
+        o_re = o_re.reshape(R, C)
+        o_im = o_im.reshape(R, C)
         if k_lo:
-            g_re = g_re.at[:, :, col_idx].set(o_re)
-            g_im = g_im.at[:, :, col_idx].set(o_im)
-        else:
-            g_re = o_re.reshape(g_re.shape)
-            g_im = o_im.reshape(g_im.shape)
+            o_re = jnp.take(o_re, cinv, axis=1)
+            o_im = jnp.take(o_im, cinv, axis=1)
         if k_hi:
-            re = re.at[row_idx].set(g_re)
-            im = im.at[row_idx].set(g_im)
-        else:
-            re = g_re[0]
-            im = g_im[0]
-        return jnp.reshape(re, (-1,)), jnp.reshape(im, (-1,))
+            o_re = jnp.take(o_re, rinv, axis=0)
+            o_im = jnp.take(o_im, rinv, axis=0)
+        return jnp.reshape(o_re, (-1,)), jnp.reshape(o_im, (-1,))
 
     return jax.jit(apply, donate_argnums=(0, 1))
 
@@ -149,6 +140,7 @@ class IndexedEvolver:
         self.n = int(n_qubits)
         self.L = min(int(row_bits), self.n)
         self.float_type = np.dtype(float_type)
+        self._perm_cache: dict = {}
 
     def _kernel(self, k_hi, k_lo):
         key = (self.n, k_hi, k_lo, self.L, str(self.float_type))
@@ -157,6 +149,19 @@ class IndexedEvolver:
             fn = _build_kernel(self.n, k_hi, k_lo, self.L)
             _KERNEL_CACHE[key] = fn
         return fn
+
+    def _perms(self, kind: str, bits: Tuple[int, ...], n_bits: int,
+               major: bool = False):
+        """Device-cached (perm, inv) pair for a position set."""
+        import jax.numpy as jnp
+
+        key = (kind, bits)
+        out = self._perm_cache.get(key)
+        if out is None:
+            perm, inv = host_perm_and_inverse(bits, n_bits, major=major)
+            out = (jnp.asarray(perm), jnp.asarray(inv))
+            self._perm_cache[key] = out
+        return out
 
     def prepare_state(self, state: str):
         from hybridq_tpu.simulation.prepare import prepare_state_split
@@ -188,10 +193,16 @@ class IndexedEvolver:
         ftype = self.float_type
         Ur = jnp.asarray(np.ascontiguousarray(U.real), dtype=ftype)
         Ui = jnp.asarray(np.ascontiguousarray(U.imag), dtype=ftype)
-        hi_pos = jnp.asarray([b - L for b, _ in hi], dtype=jnp.int32)
-        lo_pos = jnp.asarray([b for b, _ in lo], dtype=jnp.int32)
+
+        kw = {}
+        if hi:
+            kw['rperm'], kw['rinv'] = self._perms(
+                'r', tuple(b - L for b, _ in hi), n - L)
+        if lo:
+            kw['cperm'], kw['cinv'] = self._perms(
+                'c', tuple(b for b, _ in lo), min(L, n), major=True)
         fn = self._kernel(len(hi), len(lo))
-        return fn(re, im, Ur, Ui, hi_pos, lo_pos)
+        return fn(re, im, Ur, Ui, **kw)
 
     def apply_gates(self, state, gates, qubit_index):
         for g in gates:

@@ -60,16 +60,19 @@ def prepare_state_jax(state: str, d=2, complex_type='complex64'):
     re, _ = prepare_state_split(state, d,
                                 float_type=np.real(
                                     np.zeros(1, dtype=complex_type)).dtype)
-    return re.astype(complex_type)
+    return re.astype(complex_type).reshape((2,) * len(_check_state(state,
+                                                                   d)))
 
 
 def prepare_state_split(state: str, d=2, float_type='float32'):
-    """Split-complex product state on device: ``(re, im)`` float pair.
+    """Split-complex product state on device: flat ``(re, im)`` float
+    pair of shape ``(2^n,)``.
 
-    All '01+-' token amplitudes are real, so ``im`` is zeros.  This is the
-    native input format of the TPU engines (the device backend has no
-    complex dtype; split-complex also keeps contractions as real MXU
-    matmuls).
+    All '01+-' token amplitudes are real, so ``im`` is zeros.  This is
+    the native input format of the TPU engines (no complex dtype on the
+    device backend; split-complex keeps contractions as real MXU
+    matmuls).  The state stays FLAT: rank-n ``(2,)*n`` device arrays get
+    tile-padded by orders of magnitude on TPU.
     """
     import jax.numpy as jnp
 
@@ -77,11 +80,10 @@ def prepare_state_split(state: str, d=2, float_type='float32'):
     n = len(state)
     if set(state) <= {'0', '1'}:
         idx = int(state, 2)
-        re = jnp.zeros((2**n,), dtype=float_type).at[idx].set(1).reshape(
-            (2,) * n)
+        re = jnp.zeros((2**n,), dtype=float_type).at[idx].set(1)
     else:
-        re = jnp.asarray(1.0, dtype=float_type)
+        re = jnp.ones((1,), dtype=float_type)
         for s in state:
-            re = jnp.tensordot(
-                re, jnp.asarray(TOKEN_VECTORS[s], dtype=float_type), axes=0)
+            vec = jnp.asarray(TOKEN_VECTORS[s], dtype=float_type)
+            re = (re[:, None] * vec[None, :]).reshape(-1)
     return re, jnp.zeros_like(re)

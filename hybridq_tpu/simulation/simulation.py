@@ -235,7 +235,8 @@ def _evolve_tpu(blocks, qubits, qubit_index, initial_state, complex_type,
         state = prepare_state_split(initial_state, float_type=float_type)
     else:
         re_h, im_h = split_complex(initial_state, float_type)
-        state = (jnp.asarray(re_h), jnp.asarray(im_h))
+        state = (jnp.asarray(re_h.reshape(-1)),
+                 jnp.asarray(im_h.reshape(-1)))
 
     for kind, payload in _segment_blocks(blocks):
         if kind == 'mat':
@@ -246,15 +247,17 @@ def _evolve_tpu(blocks, qubits, qubit_index, initial_state, complex_type,
                 complex_type=complex_type,
                 block_until_ready=kwargs['block_until_ready'])
         else:
-            host_psi = merge_complex(np.asarray(state[0]),
-                                     np.asarray(state[1]), complex_type)
+            host_psi = merge_complex(
+                np.asarray(state[0]), np.asarray(state[1]),
+                complex_type).reshape((2,) * n_qubits)
             new_psi, new_order = payload(host_psi, tuple(qubits))
             if tuple(new_order) != tuple(qubits):
                 raise RuntimeError("'order' has changed.")
             re_h, im_h = split_complex(new_psi, float_type)
-            state = (jnp.asarray(re_h), jnp.asarray(im_h))
+            state = (jnp.asarray(re_h.reshape(-1)),
+                     jnp.asarray(im_h.reshape(-1)))
     return merge_complex(np.asarray(state[0]), np.asarray(state[1]),
-                         complex_type)
+                         complex_type).reshape((2,) * n_qubits)
 
 
 def _evolve_indexed(blocks, qubits, qubit_index, initial_state,

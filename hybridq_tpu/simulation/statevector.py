@@ -139,8 +139,8 @@ def _trace_evolution(state, mats, axes_list: Tuple[Tuple[int, ...], ...],
     if restore and layout != list(range(n_qubits)):
         re = _permute_bits(re, layout, n_qubits)
         im = _permute_bits(im, layout, n_qubits)
-    re = jnp.reshape(re, (2,) * n_qubits)
-    im = jnp.reshape(im, (2,) * n_qubits)
+    # Stay FLAT: rank-n (2,)*n device arrays are pathologically
+    # tile-padded on TPU; callers reshape on host.
     return re, im
 
 
@@ -220,9 +220,12 @@ def evolve_statevector(psi, gates, qubit_index, n_qubits: int,
     split_input = isinstance(psi, (tuple, list))
     if split_input:
         re, im = psi
+        re = jnp.reshape(re, (-1,))
+        im = jnp.reshape(im, (-1,))
     else:
         re_h, im_h = split_complex(psi, float_type)
-        re, im = jnp.asarray(re_h), jnp.asarray(im_h)
+        re = jnp.asarray(re_h.reshape(-1))
+        im = jnp.asarray(im_h.reshape(-1))
 
     mats = split_matrices(gates, complex_type)
     axes_list = [tuple(qubit_index[q] for q in g.qubits) for g in gates]
@@ -234,4 +237,4 @@ def evolve_statevector(psi, gates, qubit_index, n_qubits: int,
             im.block_until_ready()
     if split_input:
         return re, im
-    return merge_complex(re, im, complex_type)
+    return merge_complex(re, im, complex_type).reshape((2,) * n_qubits)
