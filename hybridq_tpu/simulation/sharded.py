@@ -43,51 +43,64 @@ __all__ = ['ShardedEvolver']
 def _trace_sharded(state, mats, *, ops, n_local, g, mesh_axis):
     """Traced per-shard program: local gate applications and global-local
     qubit swaps.  ``ops`` is a static schedule of
-    ('gate', mat_idx, local_slots) and ('swap', global_bit, local_slot)."""
+    ('gate', mat_idx, local_slots) and ('swap', global_bit, local_slot).
+
+    The local shard is a FLAT ``(2^n_local,)`` split pair; every op views
+    it through a bounded-rank segment reshape (rank-n arrays are
+    pathologically tile-padded on TPU, and XLA compile time grows with
+    rank).  A host-side bit layout tracks where each local slot lives.
+    """
     import jax.numpy as jnp
     from jax import lax
 
-    re, im = state
-    n_dev = 2**g
-    qubit_at = list(range(n_local))
-    axis_of = list(range(n_local))
+    from hybridq_tpu.simulation.statevector import (_plan_gate_view,
+                                                    _permute_bits,
+                                                    apply_gate_split)
 
-    def _exchange(arr, bit, l, perm):
-        """Trade the non-matching half of axis ``l`` with the XOR partner
-        (see module docstring for the derivation)."""
-        keep = jnp.take(arr, bit, axis=l)
-        send = jnp.take(arr, 1 - bit, axis=l)
+    re, im = state
+    re = jnp.reshape(re, (-1,))
+    im = jnp.reshape(im, (-1,))
+    n_dev = 2**g
+    layout = list(range(n_local))  # layout[p] = local slot at bit pos p
+
+    def _exchange(arr, bit, p, perm):
+        """Trade the non-matching half of local bit position ``p`` with
+        the XOR partner (see module docstring)."""
+        a = 2**p
+        c = 2**(n_local - p - 1)
+        v = jnp.reshape(arr, (a, 2, c))
+        keep = jnp.take(v, bit, axis=1)
+        send = jnp.take(v, 1 - bit, axis=1)
         recv = lax.ppermute(send, mesh_axis, perm)
         s0 = jnp.where(bit == 0, keep, recv)
         s1 = jnp.where(bit == 0, recv, keep)
-        return jnp.stack([s0, s1], axis=l)
+        return jnp.reshape(jnp.stack([s0, s1], axis=1), (-1,))
 
     for op in ops:
         if op[0] == 'gate':
             _, mat_idx, slots = op
             Ur, Ui = mats[mat_idx]
             k = len(slots)
-            in_axes = [axis_of[s] for s in slots]
-            re, im = apply_gate_split(re, im, Ur, Ui, in_axes, k)
-            removed = set(in_axes)
-            qubit_at = list(slots) + [q for a, q in enumerate(qubit_at)
-                                      if a not in removed]
-            for a, q in enumerate(qubit_at):
-                axis_of[q] = a
+            shape, in_axes, layout = _plan_gate_view(layout, slots,
+                                                     n_local)
+            re_v = jnp.reshape(re, shape)
+            im_v = jnp.reshape(im, shape)
+            re_v, im_v = apply_gate_split(re_v, im_v, Ur, Ui, in_axes, k)
+            re = jnp.reshape(re_v, (-1,))
+            im = jnp.reshape(im_v, (-1,))
         else:
             _, b, slot = op
-            l = axis_of[slot]
+            p = layout.index(slot)
             mask = 1 << (g - 1 - b)
             perm = [(i, i ^ mask) for i in range(n_dev)]
             dev = lax.axis_index(mesh_axis)
             bit = (dev >> (g - 1 - b)) & 1
-            re = _exchange(re, bit, l, perm)
-            im = _exchange(im, bit, l, perm)
+            re = _exchange(re, bit, p, perm)
+            im = _exchange(im, bit, p, perm)
 
-    if qubit_at != list(range(n_local)):
-        perm_axes = [axis_of[q] for q in range(n_local)]
-        re = jnp.transpose(re, axes=perm_axes)
-        im = jnp.transpose(im, axes=perm_axes)
+    if layout != list(range(n_local)):
+        re = _permute_bits(re, layout, n_local)
+        im = _permute_bits(im, layout, n_local)
     return re, im
 
 
@@ -119,7 +132,8 @@ class ShardedEvolver:
         self.float_type = np.real(np.zeros(1, dtype=complex_type)).dtype
         self.compress = compress
         self.mesh = Mesh(np.asarray(devices), ('q',))
-        self.spec = P('q', *([None] * self.n_local))
+        # Global state: [2^g devices, 2^n_local flat] — 2-D only.
+        self.spec = P('q', None)
         self.sharding = NamedSharding(self.mesh, self.spec)
         # perm[p] = logical qubit at physical position p.
         self.perm = list(range(self.n_qubits))
@@ -135,7 +149,7 @@ class ShardedEvolver:
         if len(state) != self.n_qubits:
             raise ValueError("Wrong number of qubits for state.")
         g, nl = self.g, self.n_local
-        shape = (2**g,) + (2,) * nl
+        shape = (2**g, 2**nl)
         ftype = self.float_type
 
         def _cb(index):
@@ -147,17 +161,17 @@ class ShardedEvolver:
                 for p in range(g):
                     bit = (d >> (g - 1 - p)) & 1
                     amp *= TOKEN_VECTORS[state[p]][bit]
-                local = functools.reduce(
-                    np.multiply.outer,
-                    (TOKEN_VECTORS[state[g + i]] for i in range(nl)),
-                    np.asarray(amp))
+                local = np.asarray(amp, dtype=ftype).reshape(1)
+                for i in range(nl):
+                    vec = TOKEN_VECTORS[state[g + i]].astype(ftype)
+                    local = (local[:, None] * vec[None, :]).reshape(-1)
                 out.append(local)
             return np.stack(out).astype(ftype)
 
         re = jax.make_array_from_callback(shape, self.sharding, _cb)
         im = jax.make_array_from_callback(
-            shape, self.sharding, lambda idx: np.zeros(
-                (1,) + (2,) * nl, dtype=ftype))
+            shape, self.sharding,
+            lambda idx: np.zeros((1, 2**nl), dtype=ftype))
         return re, im
 
     # -- scheduling ------------------------------------------------------

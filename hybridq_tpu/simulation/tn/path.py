@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ['ContractionTree', 'find_path', 'PathInfo']
+__all__ = ['ContractionTree', 'find_path', 'PathInfo', 'reconfigure']
 
 
 class ContractionTree:
@@ -219,20 +219,90 @@ class FakeArray:
         self.ndim = len(shape)
 
 
+def _split_group(group, appears, size_dict, rng, refine: bool = True):
+    """Split a group of tensors into two balanced halves with a small
+    weighted cut: spectral (Fiedler vector) seed + Kernighan–Lin
+    refinement — the pure-Python stand-in for KaHyPar."""
+    import networkx as nx
+
+    group = list(group)
+    G = nx.Graph()
+    G.add_nodes_from(group)
+    gset = set(group)
+    for i, ps in appears.items():
+        ps = [p for p in ps if p in gset]
+        w = math.log2(size_dict[i])
+        for a in range(len(ps)):
+            for b in range(a + 1, len(ps)):
+                if G.has_edge(ps[a], ps[b]):
+                    G[ps[a]][ps[b]]['weight'] += w
+                else:
+                    G.add_edge(ps[a], ps[b], weight=w)
+
+    half1 = None
+    if len(group) >= 8:
+        try:
+            import scipy.sparse.linalg as spl
+
+            nodes = list(G.nodes)
+            if rng.random() < 0.5:
+                # Perturbed restart: jitter edge weights so repeated
+                # trials explore different cuts.
+                for _, _, d in G.edges(data=True):
+                    d['weight'] *= float(np.exp(0.3 * rng.standard_normal()))
+            L = nx.laplacian_matrix(G, nodelist=nodes,
+                                    weight='weight').astype(float)
+            k = min(2, len(nodes) - 1)
+            _, vecs = spl.eigsh(L.asformat('csr'), k=k, sigma=-1e-6,
+                                which='LM',
+                                v0=rng.standard_normal(len(nodes)))
+            fiedler = vecs[:, -1]
+            order = np.argsort(fiedler)
+            # Pick the cut point along the Fiedler ordering with the
+            # smallest cut weight, allowing imbalance in [1/4, 3/4].
+            pos_of = {nodes[i]: r for r, i in enumerate(order)}
+            m = len(nodes)
+            delta = np.zeros(m + 1)
+            for u, v2, d in G.edges(data=True):
+                a, b = sorted((pos_of[u], pos_of[v2]))
+                # edge crosses every cut point in (a, b]
+                delta[a + 1] += d['weight']
+                delta[b + 1] -= d['weight']
+            crossing = np.cumsum(delta)[:-1]  # crossing[c] = cut at c
+            lo, hi = max(1, m // 4), min(m - 1, (3 * m) // 4)
+            cut = lo + int(np.argmin(crossing[lo:hi + 1]))
+            half1 = {nodes[i] for i in order[:cut]}
+        except Exception:
+            half1 = None
+    if half1 is None:
+        perm = list(group)
+        rng.shuffle(perm)
+        half1 = set(perm[:len(group) // 2])
+    half2 = set(group) - half1
+
+    if refine and len(group) >= 6:
+        try:
+            half1, half2 = nx.algorithms.community.kernighan_lin_bisection(
+                G, partition=(half1, half2), weight='weight',
+                seed=int(rng.integers(2**31)))
+        except Exception:
+            pass
+    if not half1 or not half2:
+        half1 = set(group[:len(group) // 2])
+        half2 = set(group) - half1
+    return half1, half2
+
+
 def _bisection_path(inputs, output, size_dict, rng):
     """KaHyPar-style recursive bisection: build the contraction tree
     top-down by repeatedly splitting the tensor graph into two balanced
-    halves with small cut (networkx Kernighan–Lin), contracting each half
-    first."""
-    import networkx as nx
-
+    halves with a small weighted cut, contracting each half first."""
     n = len(inputs)
     appears = defaultdict(set)
     for pos, inds in enumerate(inputs):
         for i in inds:
             appears[i].add(pos)
 
-    # ssa tree builder
     children = {}
     nxt = [n]
 
@@ -245,28 +315,7 @@ def _bisection_path(inputs, output, size_dict, rng):
             nxt[0] += 1
             children[v] = (group[0], group[1])
             return v
-        G = nx.Graph()
-        G.add_nodes_from(group)
-        gset = set(group)
-        for i, ps in appears.items():
-            ps = [p for p in ps if p in gset]
-            w = math.log2(size_dict[i])
-            for a in range(len(ps)):
-                for b in range(a + 1, len(ps)):
-                    if G.has_edge(ps[a], ps[b]):
-                        G[ps[a]][ps[b]]['weight'] += w
-                    else:
-                        G.add_edge(ps[a], ps[b], weight=w)
-        try:
-            half1, half2 = nx.algorithms.community.kernighan_lin_bisection(
-                G, weight='weight',
-                seed=int(rng.integers(2**31)))
-        except Exception:
-            half1 = set(group[:len(group) // 2])
-            half2 = set(group[len(group) // 2:])
-        if not half1 or not half2:
-            half1 = set(group[:len(group) // 2])
-            half2 = set(group[len(group) // 2:])
+        half1, half2 = _split_group(group, appears, size_dict, rng)
         a = build(half1)
         b = build(half2)
         v = nxt[0]
@@ -275,8 +324,6 @@ def _bisection_path(inputs, output, size_dict, rng):
         return v
 
     build(range(n))
-
-    # Convert SSA children to shrinking-list path.
     ssa_path = [children[v] for v in sorted(children)]
     return _ssa_to_linear(ssa_path, n)
 
@@ -294,6 +341,141 @@ def _ssa_to_linear(ssa_path, n):
         ids.append(nxt)
         nxt += 1
     return out
+
+
+def _frontier(tree: ContractionTree, v: int, max_leaves: int):
+    """Collect a ≤max_leaves frontier of super-leaves under node ``v``:
+    repeatedly expand the frontier node with the most leaves beneath it."""
+    if v not in tree.children:
+        return [v]
+    frontier = list(tree.children[v])
+    while len(frontier) < max_leaves:
+        cands = [(len(tree._leaf_sets[u]), i, u)
+                 for i, u in enumerate(frontier) if u in tree.children]
+        if not cands:
+            break
+        _, i, u = max(cands)
+        frontier.pop(i)
+        frontier.extend(tree.children[u])
+    return frontier
+
+
+def _optimal_subpath(inputs, output, size_dict):
+    """Optimal/DP contraction path for a small set of effective tensors."""
+    import opt_einsum as oe
+
+    symbols = {}
+
+    def _sym(ind):
+        s = symbols.get(ind)
+        if s is None:
+            s = oe.get_symbol(len(symbols))
+            symbols[ind] = s
+        return s
+
+    eq = ','.join(''.join(_sym(i) for i in inds) for inds in inputs)
+    eq += '->' + ''.join(_sym(i) for i in output)
+    views = [FakeArray(tuple(size_dict[i] for i in inds))
+             for inds in inputs]
+    opt = 'dp' if len(inputs) <= 12 else 'branch-2'
+    path, _ = oe.contract_path(eq, *views, optimize=opt)
+    return path
+
+
+def reconfigure(tree: ContractionTree, max_subtree: int = 10,
+                rounds: int = 2, sliced=frozenset(),
+                time_budget: float = 60.0,
+                verbose: bool = False) -> ContractionTree:
+    """Subtree reconfiguration (the core cotengra refinement): repeatedly
+    take the most expensive small subtrees and replace them with the
+    exact-optimal contraction of their super-leaves.  ``sliced`` indices
+    are treated as size-1 so slicing and reconfiguration can alternate.
+    """
+    import time as _t
+
+    sl = frozenset(sliced)
+    eff_sizes = {i: (1 if i in sl else d)
+                 for i, d in tree.size_dict.items()}
+    t0 = _t.time()
+    next_id = max(list(tree.children) + [tree.n_leaves]) + 1
+
+    for _ in range(rounds):
+        # Nodes by descending contraction cost.
+        nodes = sorted(tree.children,
+                       key=lambda v: -tree.node_flops(v, sl))
+        changed = False
+        for v in nodes:
+            if _t.time() - t0 > time_budget:
+                break
+            frontier = _frontier(tree, v, max_subtree)
+            if len(frontier) < 3:
+                continue
+            inputs = [tuple(tree.node_inds[u]) for u in frontier]
+            output = tuple(tree.node_inds[v])
+            try:
+                path = _optimal_subpath(
+                    inputs, output,
+                    {i: eff_sizes[i] for inds in inputs for i in inds})
+            except Exception:
+                continue
+            # Cost of the current subtree (internal nodes between v and
+            # the frontier).
+            internal = []
+            stack = [v]
+            fr = set(frontier)
+            while stack:
+                u = stack.pop()
+                if u in fr:
+                    continue
+                internal.append(u)
+                a, b = tree.children[u]
+                stack.extend([a, b])
+            old_cost = sum(tree.node_flops(u, sl) for u in internal)
+
+            # Build candidate sub-tree.
+            avail = list(frontier)
+            new_children = {}
+            nid = next_id
+            ok = True
+            for pair in path:
+                if len(pair) != 2:
+                    ok = False
+                    break
+                i, j = pair
+                a = avail[i]
+                b = avail[j]
+                for kk in sorted((i, j), reverse=True):
+                    avail.pop(kk)
+                new_children[nid] = (a, b)
+                avail.append(nid)
+                nid += 1
+            if not ok or len(avail) != 1:
+                continue
+            # Splice: remove old internal nodes, rewire v (rename the new
+            # root to v so v's parent stays valid).
+            saved = {u: tree.children[u] for u in internal}
+            for u in internal:
+                del tree.children[u]
+            root_new = avail[0]
+            a, b = new_children.pop(root_new)
+            new_children[v] = (a, b)
+            tree.children.update(new_children)
+            next_id = nid + 1
+            tree._compute_inds()
+            new_cost = sum(tree.node_flops(u, sl)
+                           for u in [v] + [u for u in new_children
+                                           if u != v])
+            if new_cost > old_cost:
+                # branch-2 fallback can regress: revert.
+                for u in new_children:
+                    del tree.children[u]
+                tree.children.update(saved)
+                tree._compute_inds()
+            else:
+                changed = True
+        if not changed or _t.time() - t0 > time_budget:
+            break
+    return tree
 
 
 def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),

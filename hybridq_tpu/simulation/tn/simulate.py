@@ -19,7 +19,8 @@ from hybridq_tpu.circuit import Circuit, utils
 from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
                                                 SlicedContractor)
 from hybridq_tpu.simulation.tn.network import TensorNetwork, build_tn
-from hybridq_tpu.simulation.tn.path import PathInfo, find_path
+from hybridq_tpu.simulation.tn.path import (PathInfo, find_path,
+                                            reconfigure)
 from hybridq_tpu.simulation.tn.slicer import find_slices
 
 __all__ = ['simulate_tn']
@@ -100,6 +101,12 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                          methods=kwargs['methods'],
                          max_repeats=kwargs['max_repeats'],
                          minimize=kwargs['minimize'], verbose=verbose)
+        # Subtree reconfiguration (exact re-optimization of small
+        # subtrees — the refinement that closes most of the gap to
+        # hypergraph-partitioned paths).
+        budget = max(5.0, float(kwargs['max_time']) / 2)
+        tree = reconfigure(tree, rounds=4, time_budget=budget,
+                           verbose=verbose)
         info = PathInfo(tree)
         if verbose:
             print(f'# Path search: {time.time()-t0:.2f}s, {info}',
@@ -127,9 +134,16 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                       key=lambda x: int(x.split('_')[-2]))
         output_order = i_inds + f_inds
 
-    # Slice to fit memory.
+    # Slice to fit memory, re-optimizing the tree under the slicing
+    # (slice-and-reconfigure alternation).
     sliced, cost = find_slices(
         tree, target_size=kwargs['max_largest_intermediate'])
+    if sliced:
+        budget = max(5.0, float(kwargs['max_time']) / 4)
+        tree = reconfigure(tree, rounds=2, sliced=sliced,
+                           time_budget=budget, verbose=verbose)
+        sliced, cost = find_slices(
+            tree, target_size=kwargs['max_largest_intermediate'])
     info_dict.update({
         'flops': info.opt_cost,
         'largest_intermediate': info.largest_intermediate,

@@ -140,7 +140,10 @@ def test_expectation_value():
 
 
 def test_expectation_value_random():
-    c = get_rqc(4, 12)
+    # A final H layer guarantees every label is covered (random circuits
+    # may otherwise miss a qubit and shrink the register).
+    c = get_rqc(4, 12, indexes=list(range(4))) + Circuit(
+        Gate('H', [q]) for q in range(4))
     op = get_rqc(3, 6, indexes=c.all_qubits[:3])
     psi = np.asarray(simulate(c, initial_state='0')).astype('complex128')
     Uop = utils.matrix(op, order=c.all_qubits[:3],
