@@ -70,6 +70,65 @@ def host_perm_and_inverse(pos, n_bits: int, major: bool = False):
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
+def _build_kernel_deferred(n: int, k_hi: int, k_lo: int, L: int):
+    """Deferred-canonicalization variant: the state arrives in an
+    arbitrary (separable) layout given by ``rowmap``/``colmap`` index
+    vectors (device-resident), the gate's target permutation is composed
+    with the current layout *on device* (a tiny index gather), and the
+    output is left in the gate's layout — no inverse gathers.  The host
+    tracks the layout and canonicalizes once at the end."""
+    import jax
+    import jax.numpy as jnp
+
+    k = k_hi + k_lo
+    R = 2**(n - L) if n > L else 1
+    C = 2**min(L, n)
+    Rg = R // 2**k_hi
+    Cg = C // 2**k_lo
+
+    def apply(re, im, Ur, Ui, inv_rowmap, inv_colmap, rp=None, cp=None):
+        re = jnp.reshape(re, (R, C))
+        im = jnp.reshape(im, (R, C))
+        if k_hi:
+            eff_r = jnp.take(inv_rowmap, rp)  # compose layouts (262k ints)
+            re = jnp.take(re, eff_r, axis=0)
+            im = jnp.take(im, eff_r, axis=0)
+        elif inv_rowmap is not None:
+            pass  # row layout unchanged by this gate
+        if k_lo:
+            eff_c = jnp.take(inv_colmap, cp)
+            re = jnp.take(re, eff_c, axis=1)
+            im = jnp.take(im, eff_c, axis=1)
+
+        re = re.reshape(Rg, 2**k, Cg)
+        im = im.reshape(Rg, 2**k, Cg)
+        o_re = jnp.einsum('rBc,bB->rbc', re, Ur) - \
+            jnp.einsum('rBc,bB->rbc', im, Ui)
+        o_im = jnp.einsum('rBc,bB->rbc', im, Ur) + \
+            jnp.einsum('rBc,bB->rbc', re, Ui)
+        return (jnp.reshape(o_re, (-1,)), jnp.reshape(o_im, (-1,)))
+
+    return jax.jit(apply, donate_argnums=(0, 1))
+
+
+def _build_flush(n: int, L: int):
+    """One gather restoring canonical layout from (rowmap, colmap)."""
+    import jax
+    import jax.numpy as jnp
+
+    R = 2**(n - L) if n > L else 1
+    C = 2**min(L, n)
+
+    def flush(re, im, rowmap, colmap):
+        re = jnp.reshape(re, (R, C))
+        im = jnp.reshape(im, (R, C))
+        re = jnp.take(jnp.take(re, rowmap, axis=0), colmap, axis=1)
+        im = jnp.take(jnp.take(im, rowmap, axis=0), colmap, axis=1)
+        return jnp.reshape(re, (-1,)), jnp.reshape(im, (-1,))
+
+    return jax.jit(flush, donate_argnums=(0, 1))
+
+
 def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
     """Jitted gate application for a (k_hi, k_lo) gate-size class.
 
@@ -136,19 +195,65 @@ class IndexedEvolver:
     """
 
     def __init__(self, n_qubits: int, float_type='float32',
-                 row_bits: int = DEFAULT_ROW_BITS):
+                 row_bits: int = DEFAULT_ROW_BITS,
+                 use_pallas: bool = False, defer: bool = True):
         self.n = int(n_qubits)
         self.L = min(int(row_bits), self.n)
         self.float_type = np.dtype(float_type)
         self._perm_cache: dict = {}
+        # The fused Pallas kernel (single HBM pass) applies gates whose
+        # bits all live in the row index; it needs full (8, C/8) row
+        # tiles, i.e. L >= 10, and float32.
+        self.use_pallas = (bool(use_pallas) and self.L >= 10 and
+                           self.n - self.L >= 4 and
+                           self.float_type == np.dtype('float32'))
+        # Deferred canonicalization: skip inverse gathers per gate, track
+        # the (separable) layout and restore it once at the end.  The
+        # evolver is stateful w.r.t. the layout between apply calls.
+        self.defer = bool(defer) and not self.use_pallas
+        self._inv_rowmap = None  # device arrays; None = identity
+        self._inv_colmap = None
 
     def _kernel(self, k_hi, k_lo):
-        key = (self.n, k_hi, k_lo, self.L, str(self.float_type))
+        key = (self.n, k_hi, k_lo, self.L, str(self.float_type),
+               self.defer)
         fn = _KERNEL_CACHE.get(key)
         if fn is None:
-            fn = _build_kernel(self.n, k_hi, k_lo, self.L)
+            build = _build_kernel_deferred if self.defer else _build_kernel
+            fn = build(self.n, k_hi, k_lo, self.L)
             _KERNEL_CACHE[key] = fn
         return fn
+
+    def _identity_map(self, size):
+        import jax.numpy as jnp
+
+        key = ('id', size)
+        out = self._perm_cache.get(key)
+        if out is None:
+            out = jnp.arange(size, dtype=jnp.int32)
+            self._perm_cache[key] = out
+        return out
+
+    def flush(self, state):
+        """Restore canonical layout (no-op if already canonical)."""
+        if self._inv_rowmap is None and self._inv_colmap is None:
+            return state
+        key = ('flush', self.n, self.L)
+        fn = _KERNEL_CACHE.get(key)
+        if fn is None:
+            fn = _build_flush(self.n, self.L)
+            _KERNEL_CACHE[key] = fn
+        R = 2**(self.n - self.L) if self.n > self.L else 1
+        C = 2**min(self.L, self.n)
+        rowmap = self._inv_rowmap if self._inv_rowmap is not None else \
+            self._identity_map(R)
+        colmap = self._inv_colmap if self._inv_colmap is not None else \
+            self._identity_map(C)
+        re, im = state
+        state = fn(re, im, rowmap, colmap)
+        self._inv_rowmap = None
+        self._inv_colmap = None
+        return state
 
     def _perms(self, kind: str, bits: Tuple[int, ...], n_bits: int,
                major: bool = False):
@@ -194,6 +299,42 @@ class IndexedEvolver:
         Ur = jnp.asarray(np.ascontiguousarray(U.real), dtype=ftype)
         Ui = jnp.asarray(np.ascontiguousarray(U.imag), dtype=ftype)
 
+        if self.use_pallas and not lo:
+            from hybridq_tpu.simulation.pallas_kernels import \
+                apply_gate_rows
+            return apply_gate_rows(re, im, Ur, Ui,
+                                   [b - L for b, _ in hi], n, L)
+
+        fn = self._kernel(len(hi), len(lo))
+        if self.defer:
+            R = 2**(n - L) if n > L else 1
+            C = 2**min(L, n)
+            kw = {}
+            if hi:
+                rp, rinv = self._perms('r', tuple(b - L for b, _ in hi),
+                                       n - L)
+                kw['rp'] = rp
+                kw['inv_rowmap'] = (self._inv_rowmap
+                                    if self._inv_rowmap is not None
+                                    else self._identity_map(R))
+            else:
+                kw['inv_rowmap'] = None
+            if lo:
+                cp, cinv = self._perms('c', tuple(b for b, _ in lo),
+                                       min(L, n), major=True)
+                kw['cp'] = cp
+                kw['inv_colmap'] = (self._inv_colmap
+                                    if self._inv_colmap is not None
+                                    else self._identity_map(C))
+            else:
+                kw['inv_colmap'] = None
+            out = fn(re, im, Ur, Ui, **kw)
+            if hi:
+                self._inv_rowmap = rinv
+            if lo:
+                self._inv_colmap = cinv
+            return out
+
         kw = {}
         if hi:
             kw['rperm'], kw['rinv'] = self._perms(
@@ -212,6 +353,7 @@ class IndexedEvolver:
         return state
 
     def gather(self, state, complex_type='complex64') -> np.ndarray:
+        state = self.flush(state)
         re, im = state
         out = np.asarray(re).astype(complex_type)
         out += 1j * np.asarray(im).astype(self.float_type)

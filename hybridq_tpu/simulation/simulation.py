@@ -287,6 +287,7 @@ def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
                      if len(b) > 1 else b[0] for b in payload]
             state = ev.apply_gates(state, gates, qubit_index)
         else:
+            state = ev.flush(state)  # restore canonical layout
             host_psi = merge_complex(
                 np.asarray(state[0]).reshape((2,) * n_qubits),
                 np.asarray(state[1]).reshape((2,) * n_qubits),

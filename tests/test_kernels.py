@@ -77,3 +77,24 @@ def test_indexed_mixed_hi_lo_gate():
                  remove_id_gates=False, simplify=False))
     got = _run_indexed(c, n, row_bits)
     np.testing.assert_allclose(got, expected, atol=ATOL)
+
+
+def test_deferred_layout_matches_eager():
+    """defer=True leaves the state in gate layout; after flush it matches
+    the defer=False result exactly."""
+    import jax.numpy as jnp
+    n = 8
+    c = get_rqc(n, 25, indexes=list(range(n)))
+    for row_bits in (0, 4, 8):
+        evd = IndexedEvolver(n, row_bits=row_bits, defer=True)
+        eve = IndexedEvolver(n, row_bits=row_bits, defer=False)
+        sd = evd.prepare_state('0' * n)
+        se = eve.prepare_state('0' * n)
+        qubit_index = {q: q for q in range(n)}
+        for g in c:
+            U = np.ascontiguousarray(g.matrix())
+            qs = tuple(qubit_index[q] for q in g.qubits)
+            sd = evd.apply_gate(sd, U, qs)
+            se = eve.apply_gate(se, U, qs)
+        np.testing.assert_allclose(evd.gather(sd), eve.gather(se),
+                                   atol=1e-4)
