@@ -120,9 +120,11 @@ class SlicedContractor:
         out = vals[self.plan.root]
         return np.transpose(out, self.perm) if self.perm else out
 
-    def contract_np(self, verbose: bool = False) -> np.ndarray:
-        out = self.contract_slice_np(0).astype(self.complex_type)
-        for sid in range(1, self.nslices):
+    def contract_np(self, verbose: bool = False,
+                    slice_range=None) -> np.ndarray:
+        start, stop = slice_range or (0, self.nslices)
+        out = self.contract_slice_np(start).astype(self.complex_type)
+        for sid in range(start + 1, stop):
             out = out + self.contract_slice_np(sid)
         return out
 
@@ -169,10 +171,14 @@ class SlicedContractor:
             chunk -= 1
         return chunk
 
-    def contract_jax(self, devices=None, verbose: bool = False):
-        """Sum all slices on device; if ``devices`` has more than one
-        entry, slice ranges are split across a 1-D mesh and psum-reduced
-        over ICI."""
+    def contract_jax(self, devices=None, verbose: bool = False,
+                     slice_range=None):
+        """Sum slices on device; if ``devices`` has more than one entry,
+        slice ranges are split across a 1-D mesh and psum-reduced over
+        ICI.  ``slice_range=(start, stop)`` sums only that range —
+        partial sums are the unit of checkpoint/resume (the reference's
+        MPI ranks sum slice ranges the same way,
+        ``simulation_mpi.py:459-468``)."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -183,11 +189,16 @@ class SlicedContractor:
                   for d in self.datas]
 
         n_dev = 1 if devices is None else len(devices)
-        if n_dev > 1 and self.nslices % n_dev == 0:
+        if slice_range is None and n_dev > 1 and \
+                self.nslices % n_dev == 0:
             return self._contract_jax_mesh(one_slice, leaves, devices)
 
+        start, stop = slice_range or (0, self.nslices)
+        count = stop - start
         chunk = self._chunk()
-        ids = jnp.arange(self.nslices, dtype=jnp.int32).reshape(-1, chunk)
+        while count % chunk:
+            chunk -= 1
+        ids = jnp.arange(start, stop, dtype=jnp.int32).reshape(-1, chunk)
 
         @jax.jit
         def run(ids, leaves):
@@ -252,7 +263,9 @@ class SlicedContractor:
         return out
 
     def contract(self, backend='jax', devices=None,
-                 verbose: bool = False) -> np.ndarray:
+                 verbose: bool = False, slice_range=None) -> np.ndarray:
         if backend in ('jax', 'tpu'):
-            return self.contract_jax(devices=devices, verbose=verbose)
-        return self.contract_np(verbose=verbose)
+            return self.contract_jax(devices=devices, verbose=verbose,
+                                     slice_range=slice_range)
+        return self.contract_np(verbose=verbose,
+                                slice_range=slice_range)

@@ -43,6 +43,7 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
     kwargs.setdefault('max_n_slices', None)
     kwargs.setdefault('return_info', False)
     kwargs.setdefault('devices', None)
+    kwargs.setdefault('slice_range', None)
 
     info_dict = {}
     if optimize == 'tn':
@@ -126,6 +127,10 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
             raise ValueError(
                 "When passing a TensorNetwork, 'optimize' must be the "
                 "(PathInfo, tree) pair returned by tensor_only=True.")
+        # Slice-aware reconfiguration mutates the tree; never mutate a
+        # user-held plan (repeated calls must see identical slicing).
+        import copy as _copy
+        tree = _copy.deepcopy(tree)
         outer = net.outer_inds
         from hybridq_tpu.utils import sort
         i_inds = sort([x for x in outer if x.endswith('_i')],
@@ -164,7 +169,7 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                           complex_type=complex_type)
     t0 = time.time()
     out = sc.contract(backend=backend, devices=kwargs['devices'],
-                      verbose=verbose)
+                      verbose=verbose, slice_range=kwargs['slice_range'])
     info_dict['runtime (s)'] = time.time() - t0
 
     if kwargs['return_info']:
