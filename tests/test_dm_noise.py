@@ -194,3 +194,18 @@ def test_reference_dm_parity():
                                      complex_type='complex128',
                                      backend='numpy'))
     np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_dm_via_tn_engine():
+    """DM evolution through the tensor-network engine (doubled circuit)
+    matches the evolution engine."""
+    n = 2
+    c = Circuit([Gate('H', [0]), Gate('CX', [0, 1]), Gate('T', [1])])
+    noisy = add_depolarizing_noise(c, probs=0.1)
+    rho_ev = np.asarray(dm.simulate(noisy, initial_state='0',
+                                    complex_type='complex128')).reshape(
+                                        2**n, 2**n)
+    rho_tn = np.asarray(dm.simulate(noisy, initial_state='0',
+                                    optimize='tn', backend='numpy',
+                                    final_state='.')).reshape(2**n, 2**n)
+    np.testing.assert_allclose(rho_tn, rho_ev, atol=1e-4)

@@ -1,0 +1,143 @@
+"""Randomized differential parity vs the reference implementation.
+
+Every engine's numbers must match nasa/hybridq to 1e-6 on identical
+circuits (BASELINE target).  The reference runs here without its C++
+core (numpy fallback) via the numba stub in ``tests/_ref_oracle``.
+"""
+
+import numpy as np
+import pytest
+
+from tests._ref_oracle import import_reference
+
+hybridq_ref = import_reference()
+pytestmark = pytest.mark.skipif(hybridq_ref is None,
+                                reason='reference unavailable')
+
+from hybridq_tpu.circuit import Circuit
+from hybridq_tpu.gate import Gate
+from hybridq_tpu.simulation import simulate, expectation_value
+from hybridq_tpu.simulation.clifford import update_pauli_string
+
+PARAMETRIC = {'RX': 1, 'RY': 1, 'RZ': 1, 'CPHASE': 1, 'FSIM': 2,
+              'U3': 3, 'R_PI_2': 1}
+NAMES = ['H', 'X', 'Y', 'Z', 'T', 'P', 'SQRT_X', 'CX', 'CZ', 'ISWAP',
+         'SWAP', 'ZZ', 'SQRT_ISWAP', 'RX', 'RY', 'RZ', 'CPHASE', 'FSIM',
+         'U3']
+
+
+def _paired_random_circuit(n, m, rng, names=NAMES):
+    """Build the same random circuit in both frameworks."""
+    from hybridq.circuit import Circuit as RefCircuit
+    from hybridq.gate import Gate as RefGate
+
+    mine, ref = Circuit(), RefCircuit()
+    for _ in range(m):
+        name = str(rng.choice(names))
+        g = Gate(name)
+        qs = [int(q) for q in rng.choice(n, g.n_qubits, replace=False)]
+        params = (list(rng.random(PARAMETRIC[name]))
+                  if name in PARAMETRIC else None)
+        power = float(rng.choice([1, 1, 1, 0.5, 2, -1]))
+        mine.append(Gate(name, qubits=qs, params=params, power=power))
+        ref.append(RefGate(name, qubits=qs, params=params)**power)
+    return mine, ref
+
+
+@pytest.mark.parametrize('trial', range(3))
+def test_statevector_parity_1e6(trial):
+    from hybridq.circuit.simulation import simulate as ref_simulate
+
+    rng = np.random.default_rng(100 + trial)
+    n = 6
+    mine, ref = _paired_random_circuit(n, 40, rng)
+    psi = np.asarray(simulate(mine, initial_state='0',
+                              complex_type='complex128'))
+    ref_psi = np.asarray(
+        ref_simulate(ref, initial_state='0',
+                     optimize='evolution-einsum', backend='numpy',
+                     complex_type='complex128'))
+    if psi.shape != ref_psi.shape:  # random circuit missed a qubit
+        pytest.skip('qubit coverage differs')
+    np.testing.assert_allclose(psi, ref_psi, atol=1e-6)
+
+
+def test_expectation_value_parity():
+    from hybridq.circuit import Circuit as RefCircuit
+    from hybridq.gate import Gate as RefGate
+    from hybridq.circuit.simulation import (
+        expectation_value as ref_expectation)
+    from hybridq.circuit.simulation.utils import (
+        prepare_state as ref_prepare)
+
+    rng = np.random.default_rng(7)
+    n = 4
+    mine, ref = _paired_random_circuit(n, 20, rng,
+                                       names=['H', 'CX', 'T', 'RX'])
+    if len(mine.all_qubits) != n:
+        pytest.skip('qubit coverage differs')
+    from hybridq_tpu.simulation import prepare_state
+
+    state = prepare_state('+0-1', complex_type='complex128')
+    got = expectation_value(state, mine, qubits_order=list(range(n)),
+                            complex_type='complex128')
+    ref_got = ref_expectation(ref_prepare('+0-1',
+                                          complex_type='complex128'),
+                              ref, qubits_order=list(range(n)),
+                              complex_type='complex128',
+                              backend='numpy')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_got),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize('trial', range(2))
+def test_clifford_parity_1e6(trial):
+    from hybridq.circuit import Circuit as RefCircuit
+    from hybridq.gate import Gate as RefGate
+    from hybridq.circuit.simulation.clifford import (
+        update_pauli_string as ref_update)
+
+    rng = np.random.default_rng(200 + trial)
+    n = 4
+    names = ['H', 'X', 'Z', 'CX', 'CZ', 'T', 'ISWAP']
+    mine, ref = Circuit(), RefCircuit()
+    for _ in range(15):
+        name = str(rng.choice(names))
+        g = Gate(name)
+        qs = [int(q) for q in rng.choice(n, g.n_qubits, replace=False)]
+        mine.append(Gate(name, qubits=qs))
+        ref.append(RefGate(name, qubits=qs))
+    p_mine = Circuit([Gate('Z', [0]), Gate('X', [1])])
+    p_ref = RefCircuit([RefGate('Z', [0]), RefGate('X', [1])])
+
+    db = update_pauli_string(mine, p_mine, float_type='float64')
+    ref_db = dict(ref_update(ref, p_ref, float_type='float64',
+                             parallel=False))
+    # Keys over identical sorted qubit order.
+    assert set(db) == set(ref_db)
+    for k in db:
+        np.testing.assert_allclose(db[k], ref_db[k], atol=1e-6)
+
+
+def test_dm_channels_parity_1e6():
+    from hybridq.dm.circuit.simulation import simulate as ref_dm
+    from hybridq.gate import Gate as RefGate
+    from hybridq.noise.channel.channel import (
+        AmplitudeDampingChannel as RefAD,
+        LocalDephasingChannel as RefDeph)
+    from hybridq_tpu import dm
+    from hybridq_tpu.noise import (AmplitudeDampingChannel,
+                                   LocalDephasingChannel)
+
+    c = [Gate('H', [0]), Gate('CX', [0, 1])] + \
+        list(LocalDephasingChannel([0, 1], p=0.2)) + \
+        list(AmplitudeDampingChannel([0], gamma=0.25, p=0.9))
+    rc = [RefGate('H', [0]), RefGate('CX', [0, 1])] + \
+        list(RefDeph([0, 1], p=0.2)) + \
+        list(RefAD([0], gamma=0.25, p=0.9))
+    mine = np.asarray(dm.simulate(c, initial_state='0',
+                                  complex_type='complex128'))
+    ref = np.asarray(ref_dm(rc, initial_state='0',
+                            optimize='evolution-einsum', backend='numpy',
+                            complex_type='complex128'))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
