@@ -181,7 +181,10 @@ def _simulate_evolution(circuit, qubits, initial_state, final_state, sub,
 
     t0 = _time_mod.time()
 
-    if sub in ('tpu', 'indexed'):
+    if sub == 'sharded':
+        psi = _evolve_sharded(circuit, qubits, initial_state,
+                              complex_type, kwargs)
+    elif sub in ('tpu', 'indexed'):
         import jax
         if complex_type == np.dtype('complex128') and \
                 not jax.config.read('jax_enable_x64'):
@@ -258,6 +261,23 @@ def _evolve_tpu(blocks, qubits, qubit_index, initial_state, complex_type,
                      jnp.asarray(im_h.reshape(-1)))
     return merge_complex(np.asarray(state[0]), np.asarray(state[1]),
                          complex_type).reshape((2,) * n_qubits)
+
+
+def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
+    """Mesh-sharded evolution over all (or ``devices=``) devices."""
+    from hybridq_tpu.simulation.sharded import ShardedEvolver
+
+    if not isinstance(initial_state, str):
+        raise NotImplementedError(
+            "optimize='evolution-sharded' currently requires a token "
+            "string initial state.")
+    ev = ShardedEvolver(n_qubits=len(qubits),
+                        devices=kwargs.get('devices'),
+                        complex_type=complex_type,
+                        compress=kwargs.get('compress', 2) or 2)
+    psi = ev.prepare_state(initial_state)
+    psi = ev.evolve(psi, circuit, qubits=qubits)
+    return ev.gather(psi)
 
 
 def _evolve_indexed(blocks, qubits, qubit_index, initial_state,

@@ -163,6 +163,101 @@ class SlicedContractor:
 
         return one_slice
 
+    # -- segmented JAX backend (for big trees) ----------------------------
+    SEG_STEPS = 24  # contraction steps per compiled segment
+
+    def _build_segments(self):
+        """Split the contraction into segments of ≤SEG_STEPS pairwise
+        contractions, each its own (vmapped, cached) jit — one giant
+        traced program per tree does not compile in bounded time on a
+        shared XLA service."""
+        import jax
+        import jax.numpy as jnp
+
+        plan = self.plan
+        n_leaves = plan.tree.n_leaves
+        steps = plan.steps
+        segments = [steps[i:i + self.SEG_STEPS]
+                    for i in range(0, len(steps), self.SEG_STEPS)]
+
+        def select_leaves(sid, leaves):
+            vals = {}
+            for v in range(n_leaves):
+                re, im = leaves[v]
+                for pos, j in sorted(plan.leaf_slices[v], reverse=True):
+                    bit = (sid >> j) & 1
+                    re = jnp.take(re, bit, axis=pos)
+                    im = jnp.take(im, bit, axis=pos)
+                vals[v] = (re, im)
+            return vals
+
+        def make_segment(seg, is_last):
+            def run(vals):
+                vals = dict(vals)
+                for v, a, b, a_axes, b_axes in seg:
+                    ar, ai = vals.pop(a)
+                    br, bi = vals.pop(b)
+                    axes = (a_axes, b_axes)
+                    rr = jnp.tensordot(ar, br, axes=axes)
+                    ii = jnp.tensordot(ai, bi, axes=axes)
+                    ri = jnp.tensordot(ar, bi, axes=axes)
+                    ir = jnp.tensordot(ai, br, axes=axes)
+                    vals[v] = (rr - ii, ri + ir)
+                if is_last:
+                    re, im = vals[plan.root]
+                    if self.perm and self.perm != tuple(
+                            range(len(self.perm))):
+                        re = jnp.transpose(re, self.perm)
+                        im = jnp.transpose(im, self.perm)
+                    return {plan.root: (re, im)}
+                return vals
+
+            return run
+
+        select = jax.jit(jax.vmap(select_leaves, in_axes=(0, None)))
+        fns = [jax.jit(jax.vmap(make_segment(
+            seg, i == len(segments) - 1)))
+            for i, seg in enumerate(segments)]
+        return select, fns
+
+    def contract_jax_segmented(self, slice_range=None,
+                               verbose: bool = False):
+        """Chunked slice sum with per-segment compiled stages (host
+        drives the segment pipeline; every jit is small and cached)."""
+        import jax
+        import jax.numpy as jnp
+
+        leaves = [(jnp.asarray(d.real.astype(self.float_type)),
+                   jnp.asarray(d.imag.astype(self.float_type)))
+                  for d in self.datas]
+        select, fns = self._build_segments()
+
+        start, stop = slice_range or (0, self.nslices)
+        count = stop - start
+        chunk = max(1, min(self._chunk(), count))
+        while count % chunk:  # avoid a differently-shaped last chunk
+            chunk -= 1
+        out_shape = [self.plan.tree.size_dict[i]
+                     for i in self.output_order]
+        acc = (jnp.zeros(out_shape, self.float_type),
+               jnp.zeros(out_shape, self.float_type))
+        add = jax.jit(lambda a, r, i: (a[0] + r.sum(0), a[1] + i.sum(0)))
+
+        sid = start
+        while sid < stop:
+            ids = jnp.arange(sid, min(sid + chunk, stop),
+                             dtype=jnp.int32)
+            vals = select(ids, leaves)
+            for fn in fns:
+                vals = fn(vals)
+            re, im = vals[self.plan.root]
+            acc = add(acc, re, im)
+            sid += chunk
+
+        out = np.asarray(acc[0]).astype(self.complex_type)
+        out += 1j * np.asarray(acc[1]).astype(self.float_type)
+        return out
+
     def _chunk(self, max_batch_elems: float = 2**25):
         size = max(self.plan.tree.max_size(self.plan.sliced_set), 1)
         chunk = int(max(1, min(self.nslices, max_batch_elems // size)))
@@ -183,12 +278,18 @@ class SlicedContractor:
         import jax.numpy as jnp
         from jax import lax
 
+        n_dev = 1 if devices is None else len(devices)
+        if n_dev <= 1 and len(self.plan.steps) > 40:
+            # Big tree: one traced program per tree does not compile in
+            # bounded time on the shared XLA service — use segments.
+            return self.contract_jax_segmented(slice_range=slice_range,
+                                               verbose=verbose)
+
         one_slice = self._build_jax_fn()
         leaves = [(jnp.asarray(d.real.astype(self.float_type)),
                    jnp.asarray(d.imag.astype(self.float_type)))
                   for d in self.datas]
 
-        n_dev = 1 if devices is None else len(devices)
         if slice_range is None and n_dev > 1 and \
                 self.nslices % n_dev == 0:
             return self._contract_jax_mesh(one_slice, leaves, devices)

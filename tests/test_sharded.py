@@ -27,7 +27,8 @@ def test_sharded_matches_single_chip(n_dev):
     if _n_devices() < n_dev:
         pytest.skip('not enough devices')
     n = 7
-    c = get_rqc(n, 30)
+    c = get_rqc(n, 30, indexes=list(range(n))) + Circuit(
+        Gate('H', [q]) for q in range(n))  # H layer: full coverage
     expected = np.asarray(
         simulate(c, initial_state='0', optimize='evolution',
                  complex_type='complex128'))
@@ -91,3 +92,20 @@ def test_sharded_sequential_evolutions():
     psi = ev.evolve(psi, c1, qubits=qubits)
     psi = ev.evolve(psi, c2, qubits=qubits)
     np.testing.assert_allclose(ev.gather(psi), expected, atol=ATOL)
+
+
+def test_simulate_dispatch_sharded():
+    """optimize='evolution-sharded' through the public simulate()."""
+    if _n_devices() < 4:
+        pytest.skip('not enough devices')
+    n = 6
+    c = get_rqc(n, 20, indexes=list(range(n)))
+    pad = Circuit(Gate('I', [q]) for q in range(n))
+    expected = np.asarray(
+        simulate(c + pad, initial_state='0', complex_type='complex128',
+                 remove_id_gates=False, simplify=False))
+    got = np.asarray(
+        simulate(c + pad, initial_state='0',
+                 optimize='evolution-sharded', remove_id_gates=False,
+                 simplify=False))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
