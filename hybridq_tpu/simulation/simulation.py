@@ -96,6 +96,21 @@ def simulate(circuit, initial_state=None, final_state=None,
     kwargs.setdefault('allow_sampling', False)
     kwargs.setdefault('sampling_seed', None)
 
+    # Optional on-device tracing (the reference has only info dicts;
+    # SURVEY §5 calls for jax.profiler traces).
+    profile_dir = kwargs.pop('profile_dir', None)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(str(profile_dir)):
+            return simulate(circuit, initial_state=initial_state,
+                            final_state=final_state, optimize=optimize,
+                            backend=backend, complex_type=complex_type,
+                            tensor_only=tensor_only, simplify=simplify,
+                            remove_id_gates=remove_id_gates,
+                            use_mpi=use_mpi, atol=atol, verbose=verbose,
+                            **kwargs)
+
     if tensor_only and isinstance(optimize, str) and 'evolution' in optimize:
         raise ValueError(
             f"'tensor_only' is not supported for optimize={optimize}")
