@@ -209,3 +209,20 @@ def test_dm_via_tn_engine():
                                     optimize='tn', backend='numpy',
                                     final_state='.')).reshape(2**n, 2**n)
     np.testing.assert_allclose(rho_tn, rho_ev, atol=1e-4)
+
+
+def test_batched_trajectories_match_exact_dm():
+    """Device-batched trajectory sampling converges to the exact DM."""
+    from hybridq_tpu.simulation.trajectories import (
+        trajectory_density_matrix)
+
+    n = 3
+    c = Circuit([Gate('H', [0]), Gate('CX', [0, 1]), Gate('T', [1]),
+                 Gate('CX', [1, 2])])
+    noisy = add_depolarizing_noise(c, probs=0.15)
+    exact = np.asarray(dm.simulate(noisy, initial_state='0',
+                                   complex_type='complex128')).reshape(
+                                       2**n, 2**n)
+    rho = trajectory_density_matrix(Circuit(list(noisy)), 3000,
+                                    initial_state='0', seed=11)
+    np.testing.assert_allclose(rho, exact, atol=0.05)
