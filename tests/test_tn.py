@@ -149,3 +149,76 @@ def test_tn_return_info():
     for k in ('flops', 'largest_intermediate', 'n_slices',
               'total_flops', 'runtime (s)'):
         assert k in info
+
+
+def test_tn_random_token_states():
+    """Random mix of 0/1/./letter tokens on both boundaries vs a dense
+    einsum oracle (the reference's example-mpi-trace workload)."""
+    from opt_einsum import contract, get_symbol
+
+    rng = np.random.default_rng(5)
+    n = 5
+    c = get_rqc(n, 20, indexes=list(range(n))) + Circuit(
+        Gate('H', [q]) for q in range(n))
+    U = utils.matrix(c, complex_type='complex128')
+
+    for _ in range(4):
+        tokens = list('01.ab')
+        initial = [str(rng.choice(tokens)) for _ in range(n)]
+        final = [str(rng.choice(tokens)) for _ in range(n)]
+        # every letter must appear at least twice to be a trace; patch
+        # singletons to '0'
+        from collections import Counter
+        cnt = Counter(x for x in initial + final if x.isalpha())
+        initial = ['0' if x.isalpha() and cnt[x] < 2 else x
+                   for x in initial]
+        final = ['0' if x.isalpha() and cnt[x] < 2 else x
+                 for x in final]
+
+        got = simulate(c, initial_state=''.join(initial),
+                       final_state=''.join(final), optimize='tn',
+                       backend='numpy')
+
+        # Dense oracle via einsum over U[f, i]
+        vec = {'0': np.array([1., 0]), '1': np.array([0., 1]),
+               '+': np.array([1., 1]) / np.sqrt(2),
+               '-': np.array([1., -1]) / np.sqrt(2)}
+        T = U.reshape((2,) * (2 * n))
+        # symbols: final legs 0..n-1, initial legs n..2n-1
+        sym = [get_symbol(i) for i in range(2 * n)]
+        letter_sym = {}
+        operands = [T]
+        subs = []
+        out_syms = []
+        for i, tok in enumerate(initial):
+            s = sym[n + i]
+            if tok == '.':
+                out_syms.append((1, i, s))
+            elif tok in vec:
+                operands.append(vec[tok])
+                subs.append(s)
+            else:
+                letter_sym.setdefault(tok, get_symbol(2 * n + len(
+                    letter_sym)))
+                # traced legs share a symbol
+                sym[n + i] = letter_sym[tok]
+        for i, tok in enumerate(final):
+            s = sym[i]
+            if tok == '.':
+                out_syms.append((0, i, s))
+            elif tok in vec:
+                operands.append(vec[tok])
+                subs.append(s)
+            else:
+                letter_sym.setdefault(tok, get_symbol(2 * n + len(
+                    letter_sym)))
+                sym[i] = letter_sym[tok]
+        eq_in = [''.join(sym)] + subs
+        # output order: sorted initial open legs then sorted final
+        init_open = sorted((i, s) for grp, i, s in out_syms if grp == 1)
+        fin_open = sorted((i, s) for grp, i, s in out_syms if grp == 0)
+        out = ''.join(s for _, s in init_open) + ''.join(
+            s for _, s in fin_open)
+        eq = ','.join(eq_in) + '->' + out
+        expected = contract(eq, *operands)
+        np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
