@@ -1,0 +1,241 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference ships a C++/AVX compute core (``include/``) built by its
+Makefile; here the device compute path is JAX/XLA/Pallas, and native code
+covers the host-side performance-critical combinatorics instead — the
+multilevel hypergraph bipartitioner behind tensor-network path search
+(the role KaHyPar plays for cotengra in the reference,
+``simulation.py:920-983``).
+
+The shared library is compiled on first use with the system ``g++`` and
+cached next to the sources.  Everything degrades gracefully: callers
+check ``hgp_available()`` and fall back to pure-Python heuristics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ['hgp_available', 'bipartition', 'optimal_subpath',
+           'anneal_tree']
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [os.path.join(_DIR, 'hgpart.cpp'), os.path.join(_DIR, 'tnopt.cpp'),
+         os.path.join(_DIR, 'tree_anneal.cpp')]
+_SO = os.path.join(_DIR, '_hgpart.so')
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared',
+           '-fPIC'] + _SRCS + ['-o', _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get('HYBRIDQ_TPU_DISABLE_NATIVE'):
+            return None
+        if (not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s)
+                for s in _SRCS)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.cdll.LoadLibrary(_SO)
+        except OSError:
+            return None
+        fn = lib.hgp_bipartition
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS'),
+            ctypes.c_double, ctypes.c_int, ctypes.c_uint,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        fn3 = lib.tn_anneal
+        fn3.restype = ctypes.c_int
+        fn3.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        ]
+        fn2 = lib.tn_optimal_path
+        fn2.restype = ctypes.c_int
+        fn2.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+        ]
+        _lib = lib
+        return _lib
+
+
+def hgp_available() -> bool:
+    """True iff the native partitioner compiled and loaded."""
+    return _load() is not None
+
+
+def bipartition(nets: Sequence[Sequence[int]],
+                net_weights: Sequence[float], n_nodes: int,
+                node_weights: Optional[Sequence[int]] = None,
+                eps: float = 0.1, n_runs: int = 4,
+                seed: int = 0) -> Tuple[np.ndarray, float]:
+    """Balanced min-cut bipartition of a hypergraph.
+
+    ``nets[e]`` is the list of node ids pinned by net ``e``;
+    ``net_weights[e]`` its weight.  Returns ``(labels, cut)`` where
+    ``labels`` is an int array of 0/1 per node.  Raises ``RuntimeError``
+    if the native library is unavailable (callers should check
+    ``hgp_available()`` first).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native hgpart library unavailable")
+    xpins = np.zeros(len(nets) + 1, dtype=np.int32)
+    for e, ps in enumerate(nets):
+        xpins[e + 1] = xpins[e] + len(ps)
+    pins = np.fromiter((p for ps in nets for p in ps), dtype=np.int32,
+                       count=int(xpins[-1]))
+    w = np.ascontiguousarray(net_weights, dtype=np.float64)
+    nw = (np.ones(n_nodes, dtype=np.int64) if node_weights is None
+          else np.ascontiguousarray(node_weights, dtype=np.int64))
+    out = np.zeros(n_nodes, dtype=np.int32)
+    cut = ctypes.c_double(0.0)
+    r = lib.hgp_bipartition(n_nodes, len(nets), xpins, pins, w, nw,
+                            float(eps), int(n_runs),
+                            int(seed) & 0xffffffff, out,
+                            ctypes.byref(cut))
+    if r != 0:
+        raise RuntimeError(f"hgp_bipartition failed (code {r})")
+    return out, float(cut.value)
+
+
+def optimal_subpath(inputs: Sequence[Sequence[str]],
+                    output: Sequence[str],
+                    size_dict) -> list:
+    """Exact-optimal (min total flops) contraction order for ≤ 16
+    tensors via the native bitmask DP.  Returns an SSA pair list
+    ``[(a, b), ...]`` with new ids allocated from ``len(inputs)``
+    upward; raises ``RuntimeError`` when unavailable or infeasible
+    (callers fall back to opt_einsum).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tnopt library unavailable")
+    n = len(inputs)
+    if not 2 <= n <= 16:
+        raise RuntimeError(f"tn_optimal_path supports 2..16 tensors "
+                           f"(got {n})")
+    import math
+
+    ind_ids = {}
+    for inds in inputs:
+        for i in inds:
+            ind_ids.setdefault(i, len(ind_ids))
+    pin = np.zeros(len(ind_ids), dtype=np.uint32)
+    is_out = np.zeros(len(ind_ids), dtype=np.uint8)
+    logw = np.zeros(len(ind_ids), dtype=np.float64)
+    for t, inds in enumerate(inputs):
+        for i in inds:
+            pin[ind_ids[i]] |= np.uint32(1 << t)
+    for i in output:
+        if i in ind_ids:
+            is_out[ind_ids[i]] = 1
+    for i, k in ind_ids.items():
+        logw[k] = math.log2(size_dict[i])
+    pairs = np.zeros(2 * (n - 1), dtype=np.int32)
+    r = lib.tn_optimal_path(n, len(ind_ids), pin, is_out, logw, pairs)
+    if r != 0:
+        raise RuntimeError(f"tn_optimal_path failed (code {r})")
+    return [(int(pairs[2 * k]), int(pairs[2 * k + 1]))
+            for k in range(n - 1)]
+
+
+def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
+                size_dict, ssa_pairs: Sequence[Tuple[int, int]],
+                sliced: Sequence[str] = (), n_sweeps: int = 2000,
+                t0: float = 2.0, t1: float = 0.02,
+                width_target: float = 1e9, width_lambda: float = 1.0,
+                seed: int = 0,
+                patience: int = 0) -> Tuple[list, float, float]:
+    """Simulated annealing over the contraction tree (native).
+
+    ``ssa_pairs`` is the starting tree; returns
+    ``(ssa_pairs, log2_total_flops, log2_max_size)`` of the best tree
+    found, where the cost treats ``sliced`` indices as size 1.  Raises
+    ``RuntimeError`` when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tree_anneal library unavailable")
+    import math
+
+    n = len(inputs)
+    ind_ids = {}
+    for inds in inputs:
+        for i in inds:
+            ind_ids.setdefault(i, len(ind_ids))
+    xinds = np.zeros(n + 1, dtype=np.int32)
+    for t, inds in enumerate(inputs):
+        xinds[t + 1] = xinds[t] + len(inds)
+    flat = np.fromiter((ind_ids[i] for inds in inputs for i in inds),
+                       dtype=np.int32, count=int(xinds[-1]))
+    logw = np.zeros(len(ind_ids), dtype=np.float64)
+    is_out = np.zeros(len(ind_ids), dtype=np.uint8)
+    is_sl = np.zeros(len(ind_ids), dtype=np.uint8)
+    for i, k in ind_ids.items():
+        logw[k] = math.log2(size_dict[i])
+    for i in output:
+        if i in ind_ids:
+            is_out[ind_ids[i]] = 1
+    for i in sliced:
+        if i in ind_ids:
+            is_sl[ind_ids[i]] = 1
+    ssa_in = np.asarray(ssa_pairs, dtype=np.int32).reshape(-1)
+    if ssa_in.size != 2 * (n - 1):
+        raise ValueError("ssa_pairs must contain n-1 pairs")
+    ssa_out = np.zeros(2 * (n - 1), dtype=np.int32)
+    stats = np.zeros(2, dtype=np.float64)
+    r = lib.tn_anneal(n, len(ind_ids), xinds, flat, logw, is_out, is_sl,
+                      ssa_in, int(n_sweeps), float(t0), float(t1),
+                      float(width_target), float(width_lambda),
+                      int(seed) & 0xffffffff, int(patience), ssa_out,
+                      stats)
+    if r != 0:
+        raise RuntimeError(f"tn_anneal failed (code {r})")
+    pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
+             for k in range(n - 1)]
+    return pairs, float(stats[0]), float(stats[1])

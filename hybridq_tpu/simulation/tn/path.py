@@ -24,7 +24,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ['ContractionTree', 'find_path', 'PathInfo', 'reconfigure']
+__all__ = ['ContractionTree', 'find_path', 'PathInfo', 'reconfigure',
+           'anneal', 'tree_to_ssa']
 
 
 class ContractionTree:
@@ -219,10 +220,51 @@ class FakeArray:
         self.ndim = len(shape)
 
 
+def _split_group_native(group, appears, size_dict, rng):
+    """Balanced min-cut split via the native multilevel hypergraph
+    partitioner (``hybridq_tpu.native``) — the KaHyPar-equivalent the
+    reference reaches through cotengra (``simulation.py:920-983``).
+    Returns None when the library is unavailable."""
+    from hybridq_tpu import native
+
+    if not native.hgp_available():
+        return None
+    group = list(group)
+    gset = set(group)
+    idx_of = {p: i for i, p in enumerate(group)}
+    nets, w = [], []
+    for i, ps in appears.items():
+        pins = [idx_of[p] for p in ps if p in gset]
+        if len(pins) >= 2:
+            nets.append(pins)
+            w.append(math.log2(size_dict[i]))
+    if not nets:
+        return None
+    # Sample the imbalance per trial (cotengra tunes it; we randomize).
+    # High imbalance matters: good contraction trees for circuit
+    # networks "peel" unbalanced space-time chunks, not 50/50 halves.
+    eps = float(rng.choice([0.1, 0.33, 0.47, 0.6, 0.8, 0.9]))
+    try:
+        labels, _ = native.bipartition(nets, w, len(group), eps=eps,
+                                       n_runs=4,
+                                       seed=int(rng.integers(2**31)))
+    except RuntimeError:
+        return None
+    half1 = {group[i] for i in range(len(group)) if labels[i] == 0}
+    half2 = gset - half1
+    if not half1 or not half2:
+        return None
+    return half1, half2
+
+
 def _split_group(group, appears, size_dict, rng, refine: bool = True):
     """Split a group of tensors into two balanced halves with a small
-    weighted cut: spectral (Fiedler vector) seed + Kernighan–Lin
-    refinement — the pure-Python stand-in for KaHyPar."""
+    weighted cut: native multilevel hypergraph partitioner when built,
+    else spectral (Fiedler vector) seed + Kernighan–Lin refinement."""
+    native_split = _split_group_native(group, appears, size_dict, rng)
+    if native_split is not None:
+        return native_split
+
     import networkx as nx
 
     group = list(group)
@@ -293,18 +335,62 @@ def _split_group(group, appears, size_dict, rng, refine: bool = True):
     return half1, half2
 
 
-def _bisection_path(inputs, output, size_dict, rng):
+def _bisection_path(inputs, output, size_dict, rng, dp_cutoff: int = 10):
     """KaHyPar-style recursive bisection: build the contraction tree
     top-down by repeatedly splitting the tensor graph into two balanced
-    halves with a small weighted cut, contracting each half first."""
+    halves with a small weighted cut, contracting each half first.
+    Groups of ≤ ``dp_cutoff`` leaves are finished with an exact DP
+    subpath (cotengra's partition+DP hybrid)."""
     n = len(inputs)
     appears = defaultdict(set)
     for pos, inds in enumerate(inputs):
         for i in inds:
             appears[i].add(pos)
+    out_set = set(output)
 
     children = {}
     nxt = [n]
+
+    def build_dp(group):
+        """Exact-optimal subtree over the leaves in ``group``; returns
+        the subtree root id, or None if DP fails."""
+        inputs_g = [inputs[p] for p in group]
+        leafset = set(group)
+        seen = set()
+        out_g = []
+        for inds in inputs_g:
+            for i in inds:
+                if i in seen:
+                    continue
+                seen.add(i)
+                if i in out_set or not appears[i] <= leafset:
+                    out_g.append(i)
+        try:
+            path = _optimal_subpath(inputs_g, out_g, size_dict)
+        except Exception:
+            return None
+        avail = list(group)
+        local = {}
+        nid = nxt[0]
+        for pair in path:
+            if len(pair) != 2:
+                return None  # nothing merged into `children` yet
+            i, j = pair
+            a, b = avail[i], avail[j]
+            for k in sorted((i, j), reverse=True):
+                avail.pop(k)
+            local[nid] = (a, b)
+            avail.append(nid)
+            nid += 1
+        while len(avail) > 1:  # disconnected group
+            a = avail.pop(0)
+            b = avail.pop(0)
+            local[nid] = (a, b)
+            avail.append(nid)
+            nid += 1
+        children.update(local)
+        nxt[0] = nid
+        return avail[0]
 
     def build(group):
         group = list(group)
@@ -315,6 +401,10 @@ def _bisection_path(inputs, output, size_dict, rng):
             nxt[0] += 1
             children[v] = (group[0], group[1])
             return v
+        if len(group) <= dp_cutoff:
+            root = build_dp(group)
+            if root is not None:
+                return root
         half1, half2 = _split_group(group, appears, size_dict, rng)
         a = build(half1)
         b = build(half2)
@@ -361,7 +451,16 @@ def _frontier(tree: ContractionTree, v: int, max_leaves: int):
 
 
 def _optimal_subpath(inputs, output, size_dict):
-    """Optimal/DP contraction path for a small set of effective tensors."""
+    """Optimal/DP contraction path for a small set of effective tensors
+    (native bitmask DP when built — microseconds instead of the ~1 s
+    opt_einsum 'dp' costs at 12 tensors — else opt_einsum)."""
+    if 2 <= len(inputs) <= 16:
+        from hybridq_tpu import native
+        try:
+            ssa = native.optimal_subpath(inputs, output, size_dict)
+            return _ssa_to_linear(ssa, len(inputs))
+        except RuntimeError:
+            pass
     import opt_einsum as oe
 
     symbols = {}
@@ -382,8 +481,8 @@ def _optimal_subpath(inputs, output, size_dict):
     return path
 
 
-def reconfigure(tree: ContractionTree, max_subtree: int = 10,
-                rounds: int = 2, sliced=frozenset(),
+def reconfigure(tree: ContractionTree, max_subtree: int = 12,
+                rounds: int = 40, sliced=frozenset(),
                 time_budget: float = 60.0,
                 verbose: bool = False) -> ContractionTree:
     """Subtree reconfiguration (the core cotengra refinement): repeatedly
@@ -478,6 +577,75 @@ def reconfigure(tree: ContractionTree, max_subtree: int = 10,
     return tree
 
 
+def tree_to_ssa(tree: ContractionTree):
+    """Children-pairs of ``tree`` as an SSA pair list (ids 0..n-1 are
+    leaves, new ids allocated in topological order)."""
+    n = tree.n_leaves
+    ssa_of = {v: v for v in range(n)}
+    pairs = []
+    for v in tree.topo_order():
+        if v < n:
+            continue
+        a, b = tree.children[v]
+        pairs.append((ssa_of[a], ssa_of[b]))
+        ssa_of[v] = n + len(pairs) - 1
+    return pairs
+
+
+def anneal(tree: ContractionTree, sliced=frozenset(),
+           time_budget: float = 30.0, t0: float = 2.0, t1: float = 0.02,
+           width_target: float = None, width_lambda: float = 1.0,
+           seed: int = 0, verbose: bool = False) -> ContractionTree:
+    """Simulated-annealing restructuring of the tree (native
+    ``tree_anneal``; no-op when the library is unavailable).  Treats
+    ``sliced`` indices as size 1.  Returns a new tree (does not mutate).
+    """
+    import time as _t
+
+    from hybridq_tpu import native
+
+    if not native.hgp_available() or tree.n_leaves < 4:
+        return tree
+    inputs = tree.inputs
+    wt = math.log2(width_target) if width_target else 1e9
+
+    ssa = tree_to_ssa(tree)
+    # Calibrate sweeps/second, then run cooling chunks within budget.
+    t_start = _t.time()
+    best_ssa, best_f, _ = native.anneal_tree(
+        inputs, tree.output, tree.size_dict, ssa, sliced=sliced,
+        n_sweeps=200, t0=t0, t1=t0 * 0.8, width_target=wt,
+        width_lambda=width_lambda, seed=seed)
+    dt = max(_t.time() - t_start, 1e-3)
+    remaining = time_budget - dt
+    if remaining > 0:
+        sweeps = max(200, int(200 * remaining / dt))
+        rng = np.random.default_rng(seed)
+        # Two cooling runs within the budget beat one long one; early
+        # stop when no new best turns up for a quarter of the schedule.
+        for chunk in range(2):
+            n_sweeps = max(200, sweeps // 2)
+            out_ssa, f, w = native.anneal_tree(
+                inputs, tree.output, tree.size_dict, best_ssa,
+                sliced=sliced, n_sweeps=n_sweeps, t0=t0,
+                t1=t1, width_target=wt, width_lambda=width_lambda,
+                seed=int(rng.integers(2**31)),
+                patience=max(2000, n_sweeps // 4))
+            if f < best_f:
+                best_ssa, best_f = out_ssa, f
+            if _t.time() - t_start > time_budget:
+                break
+    new = ContractionTree(inputs, tree.output, tree.size_dict,
+                          _ssa_to_linear(best_ssa, tree.n_leaves))
+    old_f = tree.total_flops(sliced)
+    new_f = new.total_flops(sliced)
+    if verbose:
+        import sys
+        print(f"# anneal: 2^{math.log2(max(old_f,1)):.1f} -> "
+              f"2^{math.log2(max(new_f,1)):.1f}", file=sys.stderr)
+    return new if new_f <= old_f else tree
+
+
 def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),
               max_repeats: int = 16, minimize: str = 'combo', seed=None,
               verbose: bool = False) -> ContractionTree:
@@ -493,7 +661,11 @@ def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),
             candidates.append(p)
     if ('bisection' in methods or 'kahypar' in methods) and \
             len(inputs) > 3:
-        reps = max(1, max_repeats // 4)
+        from hybridq_tpu import native
+        # The native partitioner is fast enough for a full restart
+        # budget; the pure-Python spectral fallback gets fewer trials.
+        reps = max_repeats if native.hgp_available() else \
+            max(1, max_repeats // 4)
         for _ in range(reps):
             try:
                 candidates.append(

@@ -19,9 +19,9 @@ from hybridq_tpu.circuit import Circuit, utils
 from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
                                                 SlicedContractor)
 from hybridq_tpu.simulation.tn.network import TensorNetwork, build_tn
-from hybridq_tpu.simulation.tn.path import (PathInfo, find_path,
+from hybridq_tpu.simulation.tn.path import (PathInfo, anneal, find_path,
                                             reconfigure)
-from hybridq_tpu.simulation.tn.slicer import find_slices
+from hybridq_tpu.simulation.tn.slicer import slice_and_reconfigure
 
 __all__ = ['simulate_tn']
 
@@ -102,11 +102,11 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                          methods=kwargs['methods'],
                          max_repeats=kwargs['max_repeats'],
                          minimize=kwargs['minimize'], verbose=verbose)
-        # Subtree reconfiguration (exact re-optimization of small
-        # subtrees — the refinement that closes most of the gap to
-        # hypergraph-partitioned paths).
+        # Restructure: simulated annealing (native) drives most of the
+        # quality; exact subtree reconfiguration polishes locally.
         budget = max(5.0, float(kwargs['max_time']) / 2)
-        tree = reconfigure(tree, rounds=4, time_budget=budget,
+        tree = anneal(tree, time_budget=0.6 * budget, verbose=verbose)
+        tree = reconfigure(tree, time_budget=0.4 * budget,
                            verbose=verbose)
         info = PathInfo(tree)
         if verbose:
@@ -141,14 +141,10 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
 
     # Slice to fit memory, re-optimizing the tree under the slicing
     # (slice-and-reconfigure alternation).
-    sliced, cost = find_slices(
-        tree, target_size=kwargs['max_largest_intermediate'])
-    if sliced:
-        budget = max(5.0, float(kwargs['max_time']) / 4)
-        tree = reconfigure(tree, rounds=2, sliced=sliced,
-                           time_budget=budget, verbose=verbose)
-        sliced, cost = find_slices(
-            tree, target_size=kwargs['max_largest_intermediate'])
+    budget = max(5.0, float(kwargs['max_time']) / 4)
+    tree, sliced, cost = slice_and_reconfigure(
+        tree, target_size=kwargs['max_largest_intermediate'],
+        time_budget=budget, verbose=verbose)
     info_dict.update({
         'flops': info.opt_cost,
         'largest_intermediate': info.largest_intermediate,

@@ -7,17 +7,26 @@ the end — the unit of distribution across chips (the reference
 distributes slices over MPI ranks; we batch them per chip and ``psum``
 across the mesh).
 
-Greedy heuristic: repeatedly slice the index that appears in the largest
-intermediates, breaking ties by the smallest total-flops overhead.
+Two entry points:
+
+* ``find_slices`` — greedy: repeatedly slice the cheapest index among
+  those appearing in the largest intermediate (monotone progress on the
+  max size, candidates scored by total-flops overhead);
+* ``slice_and_reconfigure`` — the quality path (cotengra's
+  ``slicing_reconf``): alternate a few greedy slices with subtree
+  reconfiguration under the sliced metric, so the tree re-shapes itself
+  around the cuts.  This is where most of the sliced-contraction
+  efficiency comes from.
 """
 
 from __future__ import annotations
 
 from typing import FrozenSet, Tuple
 
-from hybridq_tpu.simulation.tn.path import ContractionTree
+from hybridq_tpu.simulation.tn.path import (ContractionTree, anneal,
+                                            reconfigure)
 
-__all__ = ['find_slices', 'SliceCost']
+__all__ = ['find_slices', 'SliceCost', 'slice_and_reconfigure']
 
 
 class SliceCost:
@@ -33,6 +42,40 @@ class SliceCost:
         self.max_size = tree.max_size(self.sliced)
 
 
+def _next_slice(tree: ContractionTree, sliced: set, target_size: float):
+    """The cheapest single index to slice next, drawn from the largest
+    intermediates (progress on max size is guaranteed), or None."""
+    out_set = set(tree.output)
+    nodes = list(tree.children) + list(range(tree.n_leaves))
+    max_size = max(tree.node_size(v, sliced) for v in nodes)
+    if max_size <= target_size:
+        return None
+    # Candidates must hit *the* largest node so progress is guaranteed;
+    # the total-flops score then prefers indices shared by many other
+    # large intermediates.
+    largest = max(nodes, key=lambda v: tree.node_size(v, sliced))
+    cand = set(tree.node_inds[largest]) - sliced - out_set
+    if not cand:
+        return None
+    best_i, best_c = None, None
+    for i in sorted(cand):
+        c = SliceCost(tree, frozenset(sliced | {i}))
+        key = (c.total_flops, c.max_size)
+        if best_c is None or key < best_c:
+            best_i, best_c = i, key
+    return best_i
+
+
+def _drop_redundant(tree: ContractionTree, sliced: set,
+                    target_size: float) -> set:
+    """Un-slice indices no longer needed after reconfiguration."""
+    for i in sorted(sliced):
+        trial = set(sliced) - {i}
+        if tree.max_size(frozenset(trial)) <= target_size:
+            sliced = trial
+    return set(sliced)
+
+
 def find_slices(tree: ContractionTree, target_size: float,
                 max_candidates: int = 32) -> Tuple[FrozenSet[str],
                                                    SliceCost]:
@@ -40,32 +83,80 @@ def find_slices(tree: ContractionTree, target_size: float,
 
     Output indices are never sliced (they must remain open).
     """
-    out_set = set(tree.output)
-    sliced = set()
-    cost = SliceCost(tree, frozenset())
-
-    while cost.max_size > target_size:
-        # Indices appearing in oversized intermediates.
-        cand = set()
-        for v in list(tree.children) + list(range(tree.n_leaves)):
-            if tree.node_size(v, sliced) > target_size:
-                cand.update(i for i in tree.node_inds[v]
-                            if i not in sliced and i not in out_set)
-        if not cand:
-            break  # cannot reduce further (open legs dominate)
-
-        # Rank candidates: how much does slicing each reduce max size /
-        # increase total flops?
-        scored = []
-        for i in sorted(cand)[:max_candidates * 4]:
-            trial = frozenset(sliced | {i})
-            c = SliceCost(tree, trial)
-            scored.append(((c.max_size, c.total_flops), i, c))
-        scored.sort(key=lambda x: x[0])
-        _, best_i, best_c = scored[0]
-        sliced.add(best_i)
-        cost = best_c
-        if len(sliced) > 60:
+    sliced: set = set()
+    while True:
+        i = _next_slice(tree, sliced, target_size)
+        if i is None:
+            break
+        sliced.add(i)
+        if len(sliced) > 80:
             raise RuntimeError("Slicing did not converge.")
-
     return frozenset(sliced), SliceCost(tree, frozenset(sliced))
+
+
+def _improve(tree: ContractionTree, sliced, seconds: float,
+             target_size: float, max_subtree: int, seed: int,
+             verbose: bool) -> ContractionTree:
+    """Slice-aware tree improvement: hot simulated annealing when the
+    native optimizer is built (it restructures the tree around the cuts
+    so subsequent slices are cheap), else subtree reconfiguration."""
+    from hybridq_tpu import native
+
+    if native.hgp_available() and tree.n_leaves >= 4:
+        return anneal(tree, sliced=frozenset(sliced),
+                      time_budget=seconds, t0=2.0, t1=0.05,
+                      width_target=target_size, width_lambda=1.0,
+                      seed=seed, verbose=False)
+    reconfigure(tree, max_subtree=max_subtree, sliced=frozenset(sliced),
+                time_budget=seconds, verbose=verbose)
+    return tree
+
+
+def slice_and_reconfigure(tree: ContractionTree, target_size: float,
+                          time_budget: float = 60.0, step: int = 1,
+                          max_subtree: int = 12,
+                          verbose: bool = False
+                          ) -> Tuple[ContractionTree, FrozenSet[str],
+                                     SliceCost]:
+    """Alternate greedy slicing with slice-aware restructuring
+    (annealing / subtree reconfiguration).  May mutate ``tree``
+    (callers deepcopy user-held plans first).
+    """
+    import time as _t
+
+    t0 = _t.time()
+    # Estimate how many slices are needed so the per-batch improvement
+    # budget spreads over the whole descent.
+    import math as _m
+
+    need = max(1.0, (_m.log2(max(tree.max_size(), 1)) -
+                     _m.log2(max(target_size, 1))))
+    per_batch = max(1.0, 0.7 * time_budget / need * step)
+
+    sliced: set = set()
+    seed = 0
+    while True:
+        made = 0
+        for _ in range(step):
+            i = _next_slice(tree, sliced, target_size)
+            if i is None:
+                break
+            sliced.add(i)
+            made += 1
+        if made == 0:
+            break
+        if len(sliced) > 80:
+            raise RuntimeError("Slicing did not converge.")
+        remaining = time_budget - (_t.time() - t0)
+        if remaining > 1.0:
+            seed += 1
+            tree = _improve(tree, sliced, min(per_batch, remaining),
+                            target_size, max_subtree, seed, verbose)
+    sliced = _drop_redundant(tree, sliced, target_size)
+    # Final polish under the settled slice set.
+    remaining = time_budget - (_t.time() - t0)
+    if remaining > 1.0:
+        tree = _improve(tree, sliced, remaining, target_size,
+                        max_subtree, seed + 1, verbose)
+        sliced = _drop_redundant(tree, sliced, target_size)
+    return tree, frozenset(sliced), SliceCost(tree, frozenset(sliced))
