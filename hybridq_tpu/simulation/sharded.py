@@ -37,7 +37,7 @@ from hybridq_tpu.gate import FunctionalGate
 from hybridq_tpu.simulation.prepare import TOKEN_VECTORS, _check_state
 from hybridq_tpu.simulation.statevector import apply_gate_split
 
-__all__ = ['ShardedEvolver']
+__all__ = ['ShardedEvolver', 'ShardedIndexedEvolver']
 
 
 def _trace_sharded(state, mats, *, ops, n_local, g, mesh_axis):
@@ -290,3 +290,385 @@ class ShardedEvolver:
             return jax.lax.psum(jnp.sum(re * re) + jnp.sum(im * im), 'q')
 
         return float(np.sqrt(np.asarray(_n2(tuple(psi)))))
+
+
+class ShardedIndexedEvolver(ShardedEvolver):
+    """Runtime-position variant of the sharded engine.
+
+    ``ShardedEvolver`` traces a whole circuit into one program — ideal
+    when a schedule is reused across a pod, but every new circuit
+    structure recompiles.  This variant compiles a *fixed* set of
+    programs (one local gate kernel per gate-size class, one
+    neighbor-exchange per global bit, one measure/projection pair per
+    measured-qubit count); gate matrices and bit-permutation index
+    vectors are runtime arguments, so applying any gate anywhere costs
+    zero recompiles — the multi-chip analog of
+    ``kernels.IndexedEvolver`` (itself the XLA equivalent of the
+    reference's runtime-position C++ kernel, ``include/U.h:123-202``).
+
+    Also supports ``FunctionalGate``s: ``ProjectionGate`` and
+    ``MeasureGate`` run natively on the sharded state (probabilities by
+    masked ``psum``, collapse by on-device masking); generic functional
+    gates fall back to gather → host apply → re-shard.
+    """
+
+    def __init__(self, n_qubits: int, devices: Optional[Sequence] = None,
+                 complex_type='complex64', compress: int = 2,
+                 row_bits: int = 10, seed=None):
+        super().__init__(n_qubits, devices=devices,
+                         complex_type=complex_type, compress=compress)
+        self.L = min(int(row_bits), self.n_local)
+        self._progs: dict = {}
+        self._idx_cache: dict = {}
+        self._rng = np.random.default_rng(seed)
+
+    # -- cached device index vectors --------------------------------------
+    def _perms(self, kind, bits, n_bits, major=False):
+        import jax.numpy as jnp
+
+        from hybridq_tpu.simulation.kernels import host_perm_and_inverse
+
+        key = (kind, tuple(bits), n_bits, major)
+        out = self._idx_cache.get(key)
+        if out is None:
+            perm, inv = host_perm_and_inverse(bits, n_bits, major=major)
+            out = (jnp.asarray(perm), jnp.asarray(inv))
+            self._idx_cache[key] = out
+        return out
+
+    # -- compiled programs -------------------------------------------------
+    def _gate_prog(self, k_hi: int, k_lo: int):
+        """Local gate kernel for a (k_hi, k_lo) class; positions are
+        runtime index vectors over the local row/column split."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = ('gate', k_hi, k_lo)
+        fn = self._progs.get(key)
+        if fn is not None:
+            return fn
+        nl, L = self.n_local, self.L
+        k = k_hi + k_lo
+        R = 2**(nl - L) if nl > L else 1
+        C = 2**min(L, nl)
+        Rg, Cg = R // 2**k_hi, C // 2**k_lo
+
+        def local(state, Ur, Ui, rperm, rinv, cperm, cinv):
+            re, im = state
+            re = jnp.reshape(re, (R, C))
+            im = jnp.reshape(im, (R, C))
+            if k_hi:
+                re = jnp.take(re, rperm, axis=0)
+                im = jnp.take(im, rperm, axis=0)
+            if k_lo:
+                re = jnp.take(re, cperm, axis=1)
+                im = jnp.take(im, cperm, axis=1)
+            re = re.reshape(Rg, 2**k, Cg)
+            im = im.reshape(Rg, 2**k, Cg)
+            o_re = jnp.einsum('rBc,bB->rbc', re, Ur) - \
+                jnp.einsum('rBc,bB->rbc', im, Ui)
+            o_im = jnp.einsum('rBc,bB->rbc', im, Ur) + \
+                jnp.einsum('rBc,bB->rbc', re, Ui)
+            o_re = o_re.reshape(R, C)
+            o_im = o_im.reshape(R, C)
+            if k_lo:
+                o_re = jnp.take(o_re, cinv, axis=1)
+                o_im = jnp.take(o_im, cinv, axis=1)
+            if k_hi:
+                o_re = jnp.take(o_re, rinv, axis=0)
+                o_im = jnp.take(o_im, rinv, axis=0)
+            return (jnp.reshape(o_re, (1, -1)),
+                    jnp.reshape(o_im, (1, -1)))
+
+        mapped = shard_map(
+            lambda s, *a: local((s[0][0], s[1][0]), *a),
+            mesh=self.mesh,
+            in_specs=((self.spec, self.spec),) + (P(),) * 6,
+            out_specs=(self.spec, self.spec))
+        fn = jax.jit(mapped, donate_argnums=(0,))
+        self._progs[key] = fn
+        return fn
+
+    def _swap_prog(self, b: int, p: int):
+        """Exchange global bit ``b`` with the local bit at (MSB-side)
+        position ``p`` — one ``ppermute`` with the XOR partner."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax, shard_map
+
+        key = ('swap', b, p)
+        fn = self._progs.get(key)
+        if fn is not None:
+            return fn
+        g, nl = self.g, self.n_local
+        mask = 1 << (g - 1 - b)
+        perm_pairs = [(i, i ^ mask) for i in range(2**g)]
+
+        def local(state):
+            re, im = state
+            dev = lax.axis_index('q')
+            bit = (dev >> (g - 1 - b)) & 1
+
+            def ex(arr):
+                v = jnp.reshape(arr, (2**p, 2, -1))
+                keep = jnp.take(v, bit, axis=1)
+                send = jnp.take(v, 1 - bit, axis=1)
+                recv = lax.ppermute(send, 'q', perm_pairs)
+                s0 = jnp.where(bit == 0, keep, recv)
+                s1 = jnp.where(bit == 0, recv, keep)
+                return jnp.reshape(jnp.stack([s0, s1], axis=1), (1, -1))
+
+            return ex(re[0]), ex(im[0])
+
+        mapped = shard_map(local, mesh=self.mesh,
+                           in_specs=((self.spec, self.spec),),
+                           out_specs=(self.spec, self.spec))
+        fn = jax.jit(mapped, donate_argnums=(0,))
+        self._progs[key] = fn
+        return fn
+
+    def _probs_prog(self, k: int):
+        """Joint outcome probabilities for ``k`` local qubits (runtime
+        positions via a gather moving them to the top): (2^k,) psummed."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = ('probs', k)
+        fn = self._progs.get(key)
+        if fn is not None:
+            return fn
+
+        def local(state, perm):
+            re, im = state
+            re, im = re[0], im[0]
+            p2 = re * re + im * im
+            p2 = jnp.take(p2, perm).reshape(2**k, -1).sum(axis=1)
+            return lax.psum(p2, 'q')
+
+        mapped = shard_map(local, mesh=self.mesh,
+                           in_specs=((self.spec, self.spec), P()),
+                           out_specs=P())
+        fn = jax.jit(mapped)
+        self._progs[key] = fn
+        return fn
+
+    def _project_prog(self, k: int):
+        """Project ``k`` local qubits (runtime positions/outcome) and
+        renormalize by the global norm (``renorm`` runtime flag)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = ('project', k)
+        fn = self._progs.get(key)
+        if fn is not None:
+            return fn
+
+        def local(state, perm, inv, outcome, renorm):
+            re, im = state
+            re, im = re[0], im[0]
+            size = re.shape[0]
+            mask = (jnp.arange(2**k, dtype=jnp.int32) ==
+                    outcome).astype(re.dtype)
+            re = (jnp.take(re, perm).reshape(2**k, -1) *
+                  mask[:, None]).reshape(-1)
+            im = (jnp.take(im, perm).reshape(2**k, -1) *
+                  mask[:, None]).reshape(-1)
+            n2 = lax.psum(jnp.sum(re * re) + jnp.sum(im * im), 'q')
+            scale = jnp.where(
+                renorm & (n2 > 0), 1.0 / jnp.sqrt(
+                    jnp.where(n2 > 0, n2, 1.0)), 1.0).astype(re.dtype)
+            re = jnp.take(re * scale, inv).reshape(1, size)
+            im = jnp.take(im * scale, inv).reshape(1, size)
+            return re, im
+
+        mapped = shard_map(local, mesh=self.mesh,
+                           in_specs=((self.spec, self.spec), P(), P(),
+                                     P(), P()),
+                           out_specs=(self.spec, self.spec))
+        fn = jax.jit(mapped, donate_argnums=(0,))
+        self._progs[key] = fn
+        return fn
+
+    # -- scheduling helpers ------------------------------------------------
+    def _ensure_local(self, psi, logical_qubits):
+        """Swap any global member of ``logical_qubits`` into a local
+        slot (chosen from the top positions, never evicting another
+        member).  Returns (psi, positions) with physical local
+        positions (0-based from the start of the local block)."""
+        g, n = self.g, self.n_qubits
+        pos_of = {q: p for p, q in enumerate(self.perm)}
+        qs = list(logical_qubits)
+        if len(qs) > self.n_local:
+            raise ValueError(
+                f"Gate acts on {len(qs)} qubits but only "
+                f"{self.n_local} local positions exist.")
+        for q in qs:
+            p = pos_of[q]
+            if p < g:
+                # Incoming global qubit: use the lowest local slot not
+                # occupied by another member (bounded set => bounded
+                # number of compiled swap programs).
+                slot = next(s for s in range(self.n_local)
+                            if self.perm[g + s] not in qs)
+                fn = self._swap_prog(p, slot)
+                psi = fn(tuple(psi))
+                ql, qg = self.perm[g + slot], self.perm[p]
+                self.perm[p], self.perm[g + slot] = ql, qg
+                pos_of[ql], pos_of[qg] = p, g + slot
+        return psi, [pos_of[q] - g for q in qs]
+
+    def apply_gate(self, psi, U: np.ndarray, logical_qubits):
+        """Apply a k-qubit unitary at arbitrary logical qubits."""
+        import jax.numpy as jnp
+
+        psi, slots = self._ensure_local(psi, logical_qubits)
+        nl, L = self.n_local, self.L
+        bits = [nl - 1 - s for s in slots]  # LSB bit positions
+        hi = [(b, j) for j, b in enumerate(bits) if b >= L]
+        lo = [(b, j) for j, b in enumerate(bits) if b < L]
+        k = len(bits)
+        order = [j for _, j in hi] + [j for _, j in lo]
+        if order != list(range(k)):
+            tperm = order + [k + j for j in order]
+            U = np.reshape(
+                np.transpose(np.reshape(U, (2,) * (2 * k)), tperm),
+                (2**k, 2**k))
+        ftype = self.float_type
+        Ur = jnp.asarray(np.ascontiguousarray(U.real), dtype=ftype)
+        Ui = jnp.asarray(np.ascontiguousarray(U.imag), dtype=ftype)
+
+        R = 2**(nl - L) if nl > L else 1
+        C = 2**min(L, nl)
+        if hi:
+            rperm, rinv = self._perms('r', tuple(b - L for b, _ in hi),
+                                      nl - L)
+        else:
+            rperm = rinv = self._identity(R)
+        if lo:
+            cperm, cinv = self._perms('c', tuple(b for b, _ in lo),
+                                      min(L, nl), major=True)
+        else:
+            cperm = cinv = self._identity(C)
+        fn = self._gate_prog(len(hi), len(lo))
+        return fn(tuple(psi), Ur, Ui, rperm, rinv, cperm, cinv)
+
+    def _identity(self, size):
+        import jax.numpy as jnp
+
+        key = ('id', size)
+        out = self._idx_cache.get(key)
+        if out is None:
+            out = jnp.arange(size, dtype=jnp.int32)
+            self._idx_cache[key] = out
+        return out
+
+    # -- functional gates ---------------------------------------------------
+    def probabilities(self, psi, logical_qubits):
+        """Joint z-basis outcome probabilities of ``logical_qubits``
+        (bit order = qubit order given).  Returns (psi, probs): the
+        state may have been relabeled by swap-ins."""
+        psi, slots = self._ensure_local(psi, logical_qubits)
+        nl = self.n_local
+        perm, _ = self._perms('m', tuple(nl - 1 - s for s in slots), nl,
+                              major=True)
+        probs = np.asarray(self._probs_prog(len(slots))(tuple(psi),
+                                                        perm))
+        return psi, probs.astype(np.float64)
+
+    def project(self, psi, logical_qubits, outcome: int,
+                renormalize: bool = True):
+        """Collapse ``logical_qubits`` onto the z-basis ``outcome``."""
+        import jax.numpy as jnp
+
+        psi, slots = self._ensure_local(psi, logical_qubits)
+        nl = self.n_local
+        perm, inv = self._perms('m', tuple(nl - 1 - s for s in slots),
+                                nl, major=True)
+        fn = self._project_prog(len(slots))
+        return fn(tuple(psi), perm, inv,
+                  jnp.int32(outcome), jnp.bool_(renormalize))
+
+    def measure(self, psi, logical_qubits, renormalize: bool = True):
+        """Projective measurement with collapse; returns
+        (psi, outcome)."""
+        psi, probs = self.probabilities(psi, logical_qubits)
+        p = np.maximum(probs, 0)
+        outcome = int(self._rng.choice(p.size, p=p / p.sum()))
+        psi = self.project(psi, logical_qubits, outcome,
+                           renormalize=renormalize)
+        return psi, outcome
+
+    def _apply_functional_host(self, psi, gate, qubits_order):
+        """Generic FunctionalGate fallback: gather -> host apply ->
+        re-shard (warns: host round-trip)."""
+        import warnings
+
+        import jax
+
+        warnings.warn(
+            f"Gate '{gate.name}' runs on host (gather/re-shard) in the "
+            "sharded engine.", stacklevel=2)
+        full = self.gather(psi)  # canonical qubit order
+        new, order = gate.apply(full, tuple(qubits_order))
+        if tuple(order) != tuple(qubits_order):
+            inv = [tuple(order).index(q) for q in qubits_order]
+            new = np.transpose(new, inv)
+        self.perm = list(range(self.n_qubits))
+        flat = np.ascontiguousarray(new).reshape(2**self.g, -1)
+        re = jax.device_put(
+            np.ascontiguousarray(flat.real, dtype=self.float_type),
+            self.sharding)
+        im = jax.device_put(
+            np.ascontiguousarray(flat.imag, dtype=self.float_type),
+            self.sharding)
+        return re, im
+
+    # -- public API ---------------------------------------------------------
+    def evolve(self, psi, circuit, qubits=None):
+        from hybridq_tpu.gate import MeasureGate, ProjectionGate
+
+        circuit = Circuit(circuit)
+        all_qubits = circuit.all_qubits if qubits is None else \
+            list(qubits)
+        if len(all_qubits) > self.n_qubits:
+            raise ValueError("Circuit has more qubits than the evolver.")
+        qubit_index = {q: i for i, q in enumerate(all_qubits)}
+
+        if self.compress and self.compress > 1:
+            blocks = circuit_utils.compress(
+                circuit, min(self.compress, self.n_local),
+                skip_compression=[FunctionalGate])
+            gates = []
+            for b in blocks:
+                if any(isinstance(gg, FunctionalGate) for gg in b):
+                    gates.extend(b)
+                elif len(b) > 1:
+                    gates.append(circuit_utils.to_matrix_gate(
+                        b, complex_type=self.complex_type))
+                else:
+                    gates.append(b[0])
+        else:
+            gates = list(circuit)
+
+        for gate in gates:
+            if isinstance(gate, ProjectionGate):
+                qs = [qubit_index[q] for q in gate.qubits]
+                outcome = int(gate.state, 2)
+                psi = self.project(psi, qs, outcome)
+            elif isinstance(gate, MeasureGate):
+                qs = [qubit_index[q] for q in gate.qubits]
+                psi, _ = self.measure(psi, qs)
+            elif isinstance(gate, FunctionalGate):
+                psi = self._apply_functional_host(psi, gate, all_qubits)
+            else:
+                U = np.ascontiguousarray(
+                    gate.matrix().astype(self.complex_type))
+                qs = [qubit_index[q] for q in gate.qubits]
+                psi = self.apply_gate(psi, U, qs)
+        return psi

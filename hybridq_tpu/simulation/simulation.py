@@ -279,17 +279,25 @@ def _evolve_tpu(blocks, qubits, qubit_index, initial_state, complex_type,
 
 
 def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
-    """Mesh-sharded evolution over all (or ``devices=``) devices."""
-    from hybridq_tpu.simulation.sharded import ShardedEvolver
+    """Mesh-sharded evolution over all (or ``devices=``) devices.
+
+    ``sharded_mode='traced'`` (default) compiles the whole schedule into
+    one program — best when it is reused; ``'indexed'`` uses
+    runtime-position kernels (one compile per gate-size class, supports
+    Measure/Projection natively)."""
+    from hybridq_tpu.simulation.sharded import (ShardedEvolver,
+                                                ShardedIndexedEvolver)
 
     if not isinstance(initial_state, str):
         raise NotImplementedError(
             "optimize='evolution-sharded' currently requires a token "
             "string initial state.")
-    ev = ShardedEvolver(n_qubits=len(qubits),
-                        devices=kwargs.get('devices'),
-                        complex_type=complex_type,
-                        compress=kwargs.get('compress', 2) or 2)
+    cls = ShardedIndexedEvolver if \
+        kwargs.get('sharded_mode') == 'indexed' else ShardedEvolver
+    ev = cls(n_qubits=len(qubits),
+             devices=kwargs.get('devices'),
+             complex_type=complex_type,
+             compress=kwargs.get('compress', 2) or 2)
     psi = ev.prepare_state(initial_state)
     psi = ev.evolve(psi, circuit, qubits=qubits)
     return ev.gather(psi)

@@ -1,0 +1,157 @@
+"""Sliced tensor-network contraction benchmark (Sycamore-53 RQC).
+
+The BASELINE north-star workload: depth-20 Sycamore-53 supremacy-pattern
+random circuit, single closed amplitude, sliced to fit
+``max_largest_intermediate``.  Measures per-slice contraction throughput
+on the TPU (segmented/jitted executor) and on this host's CPU (numpy
+tensordot on the identical plan — the reference's einsum backend), plus
+effective TFLOP/s.
+
+The reference's TN engine cannot run here (cotengra/kahypar are not
+installed), so the CPU numbers use our plan with numpy as the stand-in
+for "HybridQ node throughput": same contraction schedule, same work.
+
+Usage:
+  python scripts/bench_tn.py [--depth 20] [--search 240] [--sample 2]
+                             [--target 26] [--cpu-sample 1] [--cpu 0|1]
+"""
+
+import argparse
+import json
+import math
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from scripts.path_quality import supremacy_rqc  # noqa: E402
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      '_plan_cache')
+
+
+def build_plan(depth, seed, search_s, target, verbose=True):
+    from hybridq_tpu.circuit import Circuit, utils
+    from hybridq_tpu.simulation.tn.network import build_tn
+    from hybridq_tpu.simulation.tn.path import (ContractionTree, PathInfo,
+                                                anneal, find_path,
+                                                reconfigure)
+    from hybridq_tpu.simulation.tn.slicer import (SliceCost,
+                                                  slice_and_reconfigure)
+
+    circ = supremacy_rqc(depth, seed)
+    n = len(circ.all_qubits)
+    blocks = utils.compress(circ, 2)
+    circ2 = Circuit(utils.to_matrix_gate(c) for c in blocks)
+    net, output_order = build_tn(circ2, '0' * n, '0' * n)
+    inputs = [t.inds for t in net.tensors]
+    size_dict = {i: d for t in net.tensors
+                 for i, d in zip(t.inds, t.data.shape)}
+    t0 = time.time()
+    tree = find_path(inputs, output_order, size_dict, max_repeats=16,
+                     seed=seed)
+    tree = anneal(tree, time_budget=0.5 * search_s, verbose=verbose)
+    reconfigure(tree, time_budget=min(30.0, 0.1 * search_s))
+    if verbose:
+        print(f"# search {time.time()-t0:.0f}s: {PathInfo(tree)}",
+              file=sys.stderr)
+    tree, sliced, cost = slice_and_reconfigure(
+        tree, target_size=2**target, time_budget=0.4 * search_s,
+        verbose=verbose)
+    if verbose:
+        print(f"# sliced: n_inds={len(sliced)} "
+              f"total 2^{math.log2(max(cost.total_flops,1)):.1f} "
+              f"per-slice 2^{math.log2(max(cost.sliced_flops,1)):.1f} "
+              f"width 2^{math.log2(max(cost.max_size,1)):.1f}",
+              file=sys.stderr)
+    return net, output_order, tree, sliced, cost
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--depth', type=int, default=20)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--search', type=float, default=240.0)
+    ap.add_argument('--sample', type=int, default=2,
+                    help='slice chunks to time on TPU')
+    ap.add_argument('--cpu-sample', type=int, default=1)
+    ap.add_argument('--cpu', type=int, default=1)
+    ap.add_argument('--target', type=int, default=26)
+    ap.add_argument('--fresh', action='store_true')
+    args = ap.parse_args()
+
+    os.makedirs(_CACHE, exist_ok=True)
+    key = f"syc53_d{args.depth}_s{args.seed}_t{args.target}.pkl"
+    path = os.path.join(_CACHE, key)
+    if os.path.exists(path) and not args.fresh:
+        with open(path, 'rb') as f:
+            net, output_order, tree, sliced, cost = pickle.load(f)
+        print(f"# plan from cache: {path}", file=sys.stderr)
+    else:
+        net, output_order, tree, sliced, cost = build_plan(
+            args.depth, args.seed, args.search, args.target)
+        with open(path, 'wb') as f:
+            pickle.dump((net, output_order, tree, sliced, cost), f)
+
+    from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
+                                                    SlicedContractor)
+    plan = ContractionPlan(tree, sliced)
+    sc = SlicedContractor(plan, net.tensors, output_order)
+    nslices = plan.nslices
+    per_slice_flops = 8 * cost.sliced_flops  # complex mul ~ 8 real flops
+
+    result = {
+        'workload': f'sycamore-53 depth-{args.depth} single amplitude',
+        'n_sliced_inds': len(sliced),
+        'n_slices': nslices,
+        'log2_total_flops': round(math.log2(max(cost.total_flops, 1)), 2),
+        'log2_slice_flops': round(math.log2(max(cost.sliced_flops, 1)),
+                                  2),
+        'log2_width': round(math.log2(max(cost.max_size, 1)), 2),
+    }
+
+    # -- TPU ----------------------------------------------------------
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform}", file=sys.stderr)
+    t0 = time.time()
+    out = sc.contract_jax(slice_range=(0, 1))
+    compile_s = time.time() - t0
+    print(f"# first slice (incl. compile): {compile_s:.1f}s",
+          file=sys.stderr)
+    k = args.sample
+    t0 = time.time()
+    out = sc.contract_jax(slice_range=(1, 1 + k))
+    _ = complex(np.asarray(out).ravel()[0])  # forces readback
+    tpu_s = (time.time() - t0) / k
+    result.update({
+        'tpu_slice_s': round(tpu_s, 4),
+        'tpu_slices_per_s': round(1.0 / tpu_s, 4),
+        'tpu_tflops': round(per_slice_flops / tpu_s / 1e12, 3),
+        'tpu_full_amplitude_s_est': round(tpu_s * nslices, 1),
+        'compile_s': round(compile_s, 1),
+    })
+
+    # -- CPU (same plan, numpy) ----------------------------------------
+    if args.cpu:
+        kc = args.cpu_sample
+        t0 = time.time()
+        _ = sc.contract_np(slice_range=(0, kc))
+        cpu_s = (time.time() - t0) / kc
+        result.update({
+            'cpu_slice_s': round(cpu_s, 4),
+            'cpu_tflops': round(per_slice_flops / cpu_s / 1e12, 3),
+            'tpu_vs_cpu': round(cpu_s / tpu_s, 2),
+        })
+
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
