@@ -220,6 +220,44 @@ class SlicedContractor:
             for i, seg in enumerate(segments)]
         return select, fns
 
+    def _warm_segments(self, select, fns, leaves, chunk,
+                       verbose: bool = False):
+        """Compile every segment concurrently (AOT lower+compile in a
+        thread pool).  The shared remote XLA compile service has
+        minutes-level queueing per program; overlapping the waits turns
+        n_segments x queue into ~queue."""
+        import sys
+        import time as _t
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+        import jax.numpy as jnp
+
+        t0 = _t.time()
+        ids = jax.ShapeDtypeStruct((chunk,), jnp.int32)
+        lv = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), leaves)
+        try:
+            lowered = [select.lower(ids, lv)]
+            vals = jax.eval_shape(select, ids, lv)
+            for fn in fns:
+                lowered.append(fn.lower(vals))
+                vals = jax.eval_shape(fn, vals)
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                compiled = list(pool.map(lambda lw: lw.compile(),
+                                         lowered))
+            if verbose:
+                print(f"# warmed {len(lowered)} segment programs in "
+                      f"{_t.time() - t0:.0f}s", file=sys.stderr,
+                      flush=True)
+            return compiled[0], compiled[1:]
+        except Exception as e:  # pragma: no cover - warmup is advisory
+            if verbose:
+                print(f"# segment warmup skipped: "
+                      f"{type(e).__name__}: {str(e)[:100]}",
+                      file=sys.stderr, flush=True)
+            return None
+
     def contract_jax_segmented(self, slice_range=None,
                                verbose: bool = False):
         """Chunked slice sum with per-segment compiled stages (host
@@ -237,21 +275,38 @@ class SlicedContractor:
         chunk = max(1, min(self._chunk(), count))
         while count % chunk:  # avoid a differently-shaped last chunk
             chunk -= 1
+        warmed = self._warm_segments(select, fns, leaves, chunk,
+                                     verbose=verbose)
+        if warmed is not None:
+            select, fns = warmed
         out_shape = [self.plan.tree.size_dict[i]
                      for i in self.output_order]
         acc = (jnp.zeros(out_shape, self.float_type),
                jnp.zeros(out_shape, self.float_type))
         add = jax.jit(lambda a, r, i: (a[0] + r.sum(0), a[1] + i.sum(0)))
 
+        import sys
+        import time as _t
+
         sid = start
+        first = True
         while sid < stop:
             ids = jnp.arange(sid, min(sid + chunk, stop),
                              dtype=jnp.int32)
+            t0 = _t.time()
             vals = select(ids, leaves)
-            for fn in fns:
+            for k, fn in enumerate(fns):
                 vals = fn(vals)
+                if verbose and first:
+                    # jit compilation is synchronous at dispatch (only
+                    # execution is async), so this timestamps each
+                    # segment's compile.
+                    print(f"#   segment {k + 1}/{len(fns)} dispatched "
+                          f"({_t.time() - t0:.0f}s cumulative)",
+                          file=sys.stderr, flush=True)
             re, im = vals[self.plan.root]
             acc = add(acc, re, im)
+            first = False
             sid += chunk
 
         out = np.asarray(acc[0]).astype(self.complex_type)

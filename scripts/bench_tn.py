@@ -121,7 +121,7 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}", file=sys.stderr)
     t0 = time.time()
-    out = sc.contract_jax(slice_range=(0, 1))
+    out = sc.contract_jax(slice_range=(0, 1), verbose=True)
     compile_s = time.time() - t0
     print(f"# first slice (incl. compile): {compile_s:.1f}s",
           file=sys.stderr)
