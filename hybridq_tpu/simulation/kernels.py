@@ -86,7 +86,14 @@ def _build_kernel_deferred(n: int, k_hi: int, k_lo: int, L: int):
     Rg = R // 2**k_hi
     Cg = C // 2**k_lo
 
-    def apply(re, im, Ur, Ui, inv_rowmap, inv_colmap, rp=None, cp=None):
+    def apply(re, im, Ur, Ui, uperm, inv_rowmap, inv_colmap, rp=None,
+              cp=None):
+        # Reorder the gate matrix to the kernel's [hi..., lo...] index
+        # order on device (uperm is a 2^k index vector) — raw matrices
+        # can then live device-resident, stacked, with zero per-gate
+        # host uploads through the tunnel.
+        Ur = jnp.take(jnp.take(Ur, uperm, axis=0), uperm, axis=1)
+        Ui = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
         re = jnp.reshape(re, (R, C))
         im = jnp.reshape(im, (R, C))
         if k_hi:
@@ -144,7 +151,7 @@ def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
     Rg = R // 2**k_hi
     Cg = C // 2**k_lo
 
-    def apply(re, im, Ur, Ui, rperm=None, rinv=None, cperm=None,
+    def apply(re, im, Ur, Ui, uperm, rperm=None, rinv=None, cperm=None,
               cinv=None):
         """Row permutation puts the hi gate bits minor within rows; the
         column permutation puts the lo gate bits *major* within columns —
@@ -152,6 +159,8 @@ def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
         adjacent and merges into ``[Rg, 2^k, Cg]`` by pure reshape.  The
         minor axis stays ≥ 64 wide throughout (tile padding on small
         minor dims caused compile-time HBM explosions)."""
+        Ur = jnp.take(jnp.take(Ur, uperm, axis=0), uperm, axis=1)
+        Ui = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
         re = jnp.reshape(re, (R, C))
         im = jnp.reshape(im, (R, C))
         if k_hi:
@@ -275,8 +284,30 @@ class IndexedEvolver:
         re, im = prepare_state_split(state, float_type=self.float_type)
         return jnp.reshape(re, (-1,)), jnp.reshape(im, (-1,))
 
-    def apply_gate(self, state, U: np.ndarray, qubits: Tuple[int, ...]):
-        """Apply one gate; ``qubits`` are dense indices in [0, n)."""
+    def _uperm(self, order: Tuple[int, ...]):
+        """Device-cached 2^k index vector reordering a gate matrix to
+        the kernel's [hi..., lo...] bit order: U'[i, j] = U[s[i], s[j]]."""
+        import jax.numpy as jnp
+
+        key = ('u', order)
+        out = self._perm_cache.get(key)
+        if out is None:
+            k = len(order)
+            i = np.arange(2**k, dtype=np.int32)
+            s = np.zeros(2**k, dtype=np.int32)
+            for a, oa in enumerate(order):
+                s |= ((i >> (k - 1 - a)) & 1) << (k - 1 - oa)
+            out = jnp.asarray(s)
+            self._perm_cache[key] = out
+        return out
+
+    def apply_gate(self, state, U: np.ndarray, qubits: Tuple[int, ...],
+                   U_dev=None):
+        """Apply one gate; ``qubits`` are dense indices in [0, n).
+
+        ``U_dev=(Ur, Ui)`` passes a device-resident split pair of the
+        *raw* (un-reordered) matrix — e.g. a lazy slice of a stacked
+        upload — avoiding a host->device transfer per gate."""
         import jax.numpy as jnp
 
         re, im = state
@@ -287,22 +318,24 @@ class IndexedEvolver:
         lo = [(b, j) for j, b in enumerate(bits) if b < L]
         k = len(bits)
 
-        # Reorder U so its index bits are [hi..., lo...] in kernel order.
+        # Kernel bit order [hi..., lo...]; the matrix reorder happens on
+        # device via the uperm index vector.
         order = [j for _, j in hi] + [j for _, j in lo]
-        if order != list(range(k)):
-            perm = order + [k + j for j in order]
-            U = np.reshape(
-                np.transpose(np.reshape(U, (2,) * (2 * k)), perm),
-                (2**k, 2**k))
+        uperm = self._uperm(tuple(order))
 
         ftype = self.float_type
-        Ur = jnp.asarray(np.ascontiguousarray(U.real), dtype=ftype)
-        Ui = jnp.asarray(np.ascontiguousarray(U.imag), dtype=ftype)
+        if U_dev is not None:
+            Ur, Ui = U_dev
+        else:
+            Ur = jnp.asarray(np.ascontiguousarray(U.real), dtype=ftype)
+            Ui = jnp.asarray(np.ascontiguousarray(U.imag), dtype=ftype)
 
         if self.use_pallas and not lo:
             from hybridq_tpu.simulation.pallas_kernels import \
                 apply_gate_rows
-            return apply_gate_rows(re, im, Ur, Ui,
+            Urh = jnp.take(jnp.take(Ur, uperm, axis=0), uperm, axis=1)
+            Uih = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
+            return apply_gate_rows(re, im, Urh, Uih,
                                    [b - L for b, _ in hi], n, L)
 
         fn = self._kernel(len(hi), len(lo))
@@ -328,7 +361,7 @@ class IndexedEvolver:
                                     else self._identity_map(C))
             else:
                 kw['inv_colmap'] = None
-            out = fn(re, im, Ur, Ui, **kw)
+            out = fn(re, im, Ur, Ui, uperm, **kw)
             if hi:
                 self._inv_rowmap = rinv
             if lo:
@@ -343,13 +376,37 @@ class IndexedEvolver:
             kw['cperm'], kw['cinv'] = self._perms(
                 'c', tuple(b for b, _ in lo), min(L, n), major=True)
         fn = self._kernel(len(hi), len(lo))
-        return fn(re, im, Ur, Ui, **kw)
+        return fn(re, im, Ur, Ui, uperm, **kw)
+
+    def preload(self, mats):
+        """Upload a list of raw k-qubit matrices as one stacked
+        transfer per size class; returns per-gate device (Ur, Ui) pairs
+        (lazy slices of the stacks) for ``apply_gate(..., U_dev=...)``.
+        Host->device transfers ride a slow tunnel here — one stacked
+        upload replaces one round trip per gate."""
+        import jax.numpy as jnp
+
+        by_dim: dict = {}
+        for i, U in enumerate(mats):
+            by_dim.setdefault(U.shape[0], []).append(i)
+        out = [None] * len(mats)
+        for dim, idxs in by_dim.items():
+            sr = jnp.asarray(np.stack(
+                [np.ascontiguousarray(mats[i].real) for i in idxs]),
+                dtype=self.float_type)
+            si = jnp.asarray(np.stack(
+                [np.ascontiguousarray(mats[i].imag) for i in idxs]),
+                dtype=self.float_type)
+            for j, i in enumerate(idxs):
+                out[i] = (sr[j], si[j])
+        return out
 
     def apply_gates(self, state, gates, qubit_index):
-        for g in gates:
-            U = np.ascontiguousarray(g.matrix())
+        mats = [np.ascontiguousarray(g.matrix()) for g in gates]
+        devs = self.preload(mats)
+        for g, U, dev in zip(gates, mats, devs):
             qs = tuple(qubit_index[q] for q in g.qubits)
-            state = self.apply_gate(state, U, qs)
+            state = self.apply_gate(state, U, qs, U_dev=dev)
         return state
 
     def gather(self, state, complex_type='complex64') -> np.ndarray:
