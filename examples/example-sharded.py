@@ -42,3 +42,23 @@ pad_needed = single.ndim != n_qubits
 assert np.allclose(sharded.ravel()[:single.size], single.ravel(),
                    atol=1e-4)
 print('# OK: sharded evolution matches single-chip engine')
+
+# --- Runtime-position engine: compile-once kernels + native measurement ---
+from hybridq_tpu.gate import ProjectionGate
+from hybridq_tpu.simulation.sharded import ShardedIndexedEvolver
+
+ev2 = ShardedIndexedEvolver(n_qubits=n_qubits, devices=devices, seed=7)
+psi2 = ev2.prepare_state('0' * n_qubits)
+psi2 = ev2.evolve(psi2, circuit, qubits=list(range(n_qubits)))
+# Joint outcome distribution of two qubits (psum over the mesh), then a
+# projective measurement with on-device collapse.
+psi2, probs = ev2.probabilities(psi2, [0, 1])
+print(f'# P(q0,q1) = {np.round(probs, 4)}  (sum={probs.sum():.6f})')
+psi2, outcome = ev2.measure(psi2, [0, 1])
+print(f'# measured outcome: {outcome:02b}, norm after collapse = '
+      f'{ev2.norm(psi2):.6f}')
+psi2 = ev2.evolve(psi2, type(circuit)([ProjectionGate('0', [2])]),
+                  qubits=list(range(n_qubits)))
+print(f'# after Projection(q2->0): norm = {ev2.norm(psi2):.6f}')
+print(f'# compiled programs: {len(ev2._progs)} '
+      '(bounded by gate-size classes, not circuits)')
