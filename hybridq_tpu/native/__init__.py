@@ -23,7 +23,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ['hgp_available', 'bipartition', 'optimal_subpath',
-           'anneal_tree']
+           'anneal_tree', 'slice_anneal_tree']
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, 'hgpart.cpp'), os.path.join(_DIR, 'tnopt.cpp'),
@@ -88,6 +88,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_uint,
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        ]
+        fn4 = lib.tn_slice_anneal
+        fn4.restype = ctypes.c_int
+        fn4.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_uint, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
         ]
         fn2 = lib.tn_optimal_path
@@ -184,23 +201,7 @@ def optimal_subpath(inputs: Sequence[Sequence[str]],
             for k in range(n - 1)]
 
 
-def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
-                size_dict, ssa_pairs: Sequence[Tuple[int, int]],
-                sliced: Sequence[str] = (), n_sweeps: int = 2000,
-                t0: float = 2.0, t1: float = 0.02,
-                width_target: float = 1e9, width_lambda: float = 1.0,
-                seed: int = 0,
-                patience: int = 0) -> Tuple[list, float, float]:
-    """Simulated annealing over the contraction tree (native).
-
-    ``ssa_pairs`` is the starting tree; returns
-    ``(ssa_pairs, log2_total_flops, log2_max_size)`` of the best tree
-    found, where the cost treats ``sliced`` indices as size 1.  Raises
-    ``RuntimeError`` when the native library is unavailable.
-    """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native tree_anneal library unavailable")
+def _marshal_tree(inputs, output, size_dict, ssa_pairs, sliced):
     import math
 
     n = len(inputs)
@@ -227,6 +228,29 @@ def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
     ssa_in = np.asarray(ssa_pairs, dtype=np.int32).reshape(-1)
     if ssa_in.size != 2 * (n - 1):
         raise ValueError("ssa_pairs must contain n-1 pairs")
+    return ind_ids, xinds, flat, logw, is_out, is_sl, ssa_in
+
+
+def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
+                size_dict, ssa_pairs: Sequence[Tuple[int, int]],
+                sliced: Sequence[str] = (), n_sweeps: int = 2000,
+                t0: float = 2.0, t1: float = 0.02,
+                width_target: float = 1e9, width_lambda: float = 1.0,
+                seed: int = 0,
+                patience: int = 0) -> Tuple[list, float, float]:
+    """Simulated annealing over the contraction tree (native).
+
+    ``ssa_pairs`` is the starting tree; returns
+    ``(ssa_pairs, log2_total_flops, log2_max_size)`` of the best tree
+    found, where the cost treats ``sliced`` indices as size 1.  Raises
+    ``RuntimeError`` when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tree_anneal library unavailable")
+    n = len(inputs)
+    ind_ids, xinds, flat, logw, is_out, is_sl, ssa_in = _marshal_tree(
+        inputs, output, size_dict, ssa_pairs, sliced)
     ssa_out = np.zeros(2 * (n - 1), dtype=np.int32)
     stats = np.zeros(2, dtype=np.float64)
     r = lib.tn_anneal(n, len(ind_ids), xinds, flat, logw, is_out, is_sl,
@@ -239,3 +263,45 @@ def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
     pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
              for k in range(n - 1)]
     return pairs, float(stats[0]), float(stats[1])
+
+
+def slice_anneal_tree(inputs: Sequence[Sequence[str]],
+                      output: Sequence[str], size_dict,
+                      ssa_pairs: Sequence[Tuple[int, int]],
+                      target_size: float,
+                      sliced: Sequence[str] = (),
+                      sweeps_per_slice: int = 3000,
+                      final_sweeps: int = 20000, t0: float = 1.0,
+                      t1: float = 0.05, width_lambda: float = 1.0,
+                      seed: int = 0, max_slices: int = 120
+                      ) -> Tuple[list, list, float, float]:
+    """Native slice-and-anneal descent: greedily slice (total-flops
+    scored, from the largest intermediate) and re-anneal between cuts
+    until the width target is met.  Returns
+    ``(ssa_pairs, sliced_names, log2_residual_flops, log2_width)``.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tree_anneal library unavailable")
+    import math
+
+    n = len(inputs)
+    ind_ids, xinds, flat, logw, is_out, is_sl, ssa_in = _marshal_tree(
+        inputs, output, size_dict, ssa_pairs, sliced)
+    ssa_out = np.zeros(2 * (n - 1), dtype=np.int32)
+    out_sl = np.zeros(len(ind_ids), dtype=np.uint8)
+    stats = np.zeros(3, dtype=np.float64)
+    r = lib.tn_slice_anneal(
+        n, len(ind_ids), xinds, flat, logw, is_out, is_sl, ssa_in,
+        math.log2(max(target_size, 1)), int(sweeps_per_slice),
+        int(final_sweeps), float(t0), float(t1), float(width_lambda),
+        int(seed) & 0xffffffff, int(max_slices), ssa_out, out_sl, stats)
+    if r == 7:
+        raise RuntimeError("Slicing did not converge.")
+    if r != 0:
+        raise RuntimeError(f"tn_slice_anneal failed (code {r})")
+    names = list(ind_ids)
+    sliced_names = [names[i] for i in range(len(ind_ids)) if out_sl[i]]
+    pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
+             for k in range(n - 1)]
+    return pairs, sliced_names, float(stats[0]), float(stats[1])

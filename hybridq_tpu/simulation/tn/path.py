@@ -27,6 +27,8 @@ import numpy as np
 __all__ = ['ContractionTree', 'find_path', 'PathInfo', 'reconfigure',
            'anneal', 'tree_to_ssa']
 
+_ANNEAL_RATE_CACHE: dict = {}
+
 
 class ContractionTree:
     """Binary contraction tree over ``n`` leaf tensors.
@@ -610,40 +612,70 @@ def anneal(tree: ContractionTree, sliced=frozenset(),
     wt = math.log2(width_target) if width_target else 1e9
 
     ssa = tree_to_ssa(tree)
-    # Calibrate sweeps/second, then run cooling chunks within budget.
     t_start = _t.time()
-    best_ssa, best_f, _ = native.anneal_tree(
-        inputs, tree.output, tree.size_dict, ssa, sliced=sliced,
-        n_sweeps=200, t0=t0, t1=t0 * 0.8, width_target=wt,
-        width_lambda=width_lambda, seed=seed)
-    dt = max(_t.time() - t_start, 1e-3)
-    remaining = time_budget - dt
+    rng = np.random.default_rng(seed)
+
+    # Sweeps/second depends on tree size only — calibrate once per size
+    # class and cache, so short-budget calls (the slicer's per-batch
+    # improvements) don't burn their budget re-measuring.
+    rate_key = (tree.n_leaves // 64, len(tree.size_dict) // 128)
+    rate = _ANNEAL_RATE_CACHE.get(rate_key)
+    best_ssa, best_f = ssa, tree.total_flops(sliced)
+    best_f = math.log2(max(best_f, 1.0))
+    if rate is None:
+        cal = 200
+        t0_cal = _t.time()
+        best_ssa, best_f, _ = native.anneal_tree(
+            inputs, tree.output, tree.size_dict, ssa, sliced=sliced,
+            n_sweeps=cal, t0=t0, t1=t0 * 0.8, width_target=wt,
+            width_lambda=width_lambda, seed=seed)
+        rate = cal / max(_t.time() - t0_cal, 1e-3)
+        _ANNEAL_RATE_CACHE[rate_key] = rate
+
+    remaining = time_budget - (_t.time() - t_start)
     if remaining > 0:
-        sweeps = max(200, int(200 * remaining / dt))
-        rng = np.random.default_rng(seed)
-        # Two cooling runs within the budget beat one long one; early
-        # stop when no new best turns up for a quarter of the schedule.
-        for chunk in range(2):
-            n_sweeps = max(200, sweeps // 2)
+        # One full cooling run on most of the budget; patience only
+        # prunes a genuinely dead cold tail (SA plateaus during the hot
+        # phase are normal, not convergence).
+        sweeps = max(200, int(rate * remaining * 0.7))
+        out_ssa, f, w = native.anneal_tree(
+            inputs, tree.output, tree.size_dict, best_ssa,
+            sliced=sliced, n_sweeps=sweeps, t0=t0, t1=t1,
+            width_target=wt, width_lambda=width_lambda,
+            seed=int(rng.integers(2**31)),
+            patience=max(10000, sweeps // 2))
+        if f < best_f:
+            best_ssa, best_f = out_ssa, f
+        # Cold polish with whatever remains.
+        remaining = time_budget - (_t.time() - t_start)
+        if remaining > 0.5:
+            sweeps = max(200, int(rate * remaining))
             out_ssa, f, w = native.anneal_tree(
                 inputs, tree.output, tree.size_dict, best_ssa,
-                sliced=sliced, n_sweeps=n_sweeps, t0=t0,
+                sliced=sliced, n_sweeps=sweeps, t0=max(t1 * 10, 0.2),
                 t1=t1, width_target=wt, width_lambda=width_lambda,
                 seed=int(rng.integers(2**31)),
-                patience=max(2000, n_sweeps // 4))
+                patience=max(10000, sweeps // 2))
             if f < best_f:
                 best_ssa, best_f = out_ssa, f
-            if _t.time() - t_start > time_budget:
-                break
     new = ContractionTree(inputs, tree.output, tree.size_dict,
                           _ssa_to_linear(best_ssa, tree.n_leaves))
-    old_f = tree.total_flops(sliced)
-    new_f = new.total_flops(sliced)
+
+    def _obj(t):
+        # Same penalized objective the annealer optimizes — comparing
+        # raw flops alone would let width creep back up between slices.
+        o = math.log2(max(t.total_flops(sliced), 1.0))
+        w = math.log2(max(t.max_size(sliced), 1.0))
+        if w > wt:
+            o += width_lambda * (w - wt)
+        return o
+
+    old_o, new_o = _obj(tree), _obj(new)
     if verbose:
         import sys
-        print(f"# anneal: 2^{math.log2(max(old_f,1)):.1f} -> "
-              f"2^{math.log2(max(new_f,1)):.1f}", file=sys.stderr)
-    return new if new_f <= old_f else tree
+        print(f"# anneal: obj {old_o:.1f} -> {new_o:.1f}",
+              file=sys.stderr)
+    return new if new_o <= old_o else tree
 
 
 def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),

@@ -89,7 +89,7 @@ def find_slices(tree: ContractionTree, target_size: float,
         if i is None:
             break
         sliced.add(i)
-        if len(sliced) > 80:
+        if len(sliced) > 100:
             raise RuntimeError("Slicing did not converge.")
     return frozenset(sliced), SliceCost(tree, frozenset(sliced))
 
@@ -103,13 +103,68 @@ def _improve(tree: ContractionTree, sliced, seconds: float,
     from hybridq_tpu import native
 
     if native.hgp_available() and tree.n_leaves >= 4:
+        # Warm (not hot) annealing: per-batch budgets are seconds, and
+        # a hot chain that fails to re-converge gets rejected anyway.
         return anneal(tree, sliced=frozenset(sliced),
-                      time_budget=seconds, t0=2.0, t1=0.05,
+                      time_budget=seconds, t0=1.0, t1=0.05,
                       width_target=target_size, width_lambda=1.0,
                       seed=seed, verbose=False)
     reconfigure(tree, max_subtree=max_subtree, sliced=frozenset(sliced),
                 time_budget=seconds, verbose=verbose)
     return tree
+
+
+def _slice_anneal_native(tree: ContractionTree, target_size: float,
+                         time_budget: float, verbose: bool):
+    """Full descent in native code: greedy slice + re-anneal between
+    cuts with zero Python per-batch overhead.  Returns None when the
+    native library is unavailable."""
+    import math as _m
+    import time as _t
+
+    from hybridq_tpu import native
+    from hybridq_tpu.simulation.tn.path import (_ANNEAL_RATE_CACHE,
+                                                _ssa_to_linear,
+                                                tree_to_ssa)
+
+    if not native.hgp_available() or tree.n_leaves < 4:
+        return None
+    if tree.max_size() <= target_size:
+        return tree, frozenset(), SliceCost(tree, frozenset())
+
+    # Sweep rate from the anneal cache (populated by the search phase);
+    # conservative default otherwise.
+    rate_key = (tree.n_leaves // 64, len(tree.size_dict) // 128)
+    rate = _ANNEAL_RATE_CACHE.get(rate_key, 300.0)
+    need = max(1.0, _m.log2(max(tree.max_size(), 1)) -
+               _m.log2(max(target_size, 1)))
+    sweeps_per_slice = max(500, int(rate * 0.6 * time_budget /
+                                    (1.5 * need)))
+    final_sweeps = max(2000, int(rate * 0.3 * time_budget))
+
+    t_start = _t.time()
+    ssa = tree_to_ssa(tree)
+    try:
+        ssa, sliced_names, resid, width = native.slice_anneal_tree(
+            tree.inputs, tree.output, tree.size_dict, ssa,
+            target_size=target_size, sweeps_per_slice=sweeps_per_slice,
+            final_sweeps=final_sweeps)
+    except RuntimeError as e:
+        if 'did not converge' in str(e):
+            raise
+        return None
+    new = ContractionTree(tree.inputs, tree.output, tree.size_dict,
+                          _ssa_to_linear(ssa, tree.n_leaves))
+    sliced = set(sliced_names)
+    sliced = _drop_redundant(new, sliced, target_size)
+    if verbose:
+        import sys
+        c = SliceCost(new, frozenset(sliced))
+        print(f"# native slice descent {_t.time()-t_start:.0f}s: "
+              f"{len(sliced)} sliced, total "
+              f"2^{_m.log2(max(c.total_flops, 1)):.1f}",
+              file=sys.stderr, flush=True)
+    return new, frozenset(sliced), SliceCost(new, frozenset(sliced))
 
 
 def slice_and_reconfigure(tree: ContractionTree, target_size: float,
@@ -123,6 +178,10 @@ def slice_and_reconfigure(tree: ContractionTree, target_size: float,
     (callers deepcopy user-held plans first).
     """
     import time as _t
+
+    out = _slice_anneal_native(tree, target_size, time_budget, verbose)
+    if out is not None:
+        return out
 
     t0 = _t.time()
     # Estimate how many slices are needed so the per-batch improvement
@@ -145,7 +204,7 @@ def slice_and_reconfigure(tree: ContractionTree, target_size: float,
             made += 1
         if made == 0:
             break
-        if len(sliced) > 80:
+        if len(sliced) > 100:
             raise RuntimeError("Slicing did not converge.")
         remaining = time_budget - (_t.time() - t0)
         if remaining > 1.0:

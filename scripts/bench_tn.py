@@ -83,6 +83,8 @@ def main():
     ap.add_argument('--cpu', type=int, default=1)
     ap.add_argument('--target', type=int, default=26)
     ap.add_argument('--fresh', action='store_true')
+    ap.add_argument('--plan-only', action='store_true',
+                    help='search + cache the plan, skip contraction')
     args = ap.parse_args()
 
     os.makedirs(_CACHE, exist_ok=True)
@@ -97,6 +99,13 @@ def main():
             args.depth, args.seed, args.search, args.target)
         with open(path, 'wb') as f:
             pickle.dump((net, output_order, tree, sliced, cost), f)
+
+    if args.plan_only:
+        print(json.dumps({'plan': key,
+                          'log2_total_flops': round(math.log2(
+                              max(cost.total_flops, 1)), 2),
+                          'n_slices': cost.nslices}))
+        return
 
     from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
                                                     SlicedContractor)
