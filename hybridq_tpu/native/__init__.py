@@ -28,16 +28,28 @@ __all__ = ['hgp_available', 'bipartition', 'optimal_subpath',
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, 'hgpart.cpp'), os.path.join(_DIR, 'tnopt.cpp'),
          os.path.join(_DIR, 'tree_anneal.cpp')]
-_SO = os.path.join(_DIR, '_hgpart.so')
+
+
+def _src_hash() -> str:
+    """Content hash of the C++ sources; the cached .so is keyed on it, so
+    stale or foreign binaries (git does not preserve mtimes) are never
+    loaded."""
+    import hashlib
+    h = hashlib.sha256()
+    for s in _SRCS:
+        with open(s, 'rb') as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(so: str) -> bool:
     cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared',
-           '-fPIC'] + _SRCS + ['-o', _SO]
+           '-fPIC'] + _SRCS + ['-o', so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
         return True
@@ -53,13 +65,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get('HYBRIDQ_TPU_DISABLE_NATIVE'):
             return None
-        if (not os.path.exists(_SO) or any(
-                os.path.getmtime(_SO) < os.path.getmtime(s)
-                for s in _SRCS)):
-            if not _build():
-                return None
+        so = os.path.join(_DIR, f'_hgpart-{_src_hash()}.so')
+        if not os.path.exists(so) and not _build(so):
+            return None
         try:
-            lib = ctypes.cdll.LoadLibrary(_SO)
+            lib = ctypes.cdll.LoadLibrary(so)
         except OSError:
             return None
         fn = lib.hgp_bipartition

@@ -599,7 +599,13 @@ class ShardedIndexedEvolver(ShardedEvolver):
         (psi, outcome)."""
         psi, probs = self.probabilities(psi, logical_qubits)
         p = np.maximum(probs, 0)
-        outcome = int(self._rng.choice(p.size, p=p / p.sum()))
+        norm = p.sum()
+        if not norm > 0:
+            raise ValueError(
+                "cannot measure a zero-norm state (e.g. after a "
+                "ProjectionGate with renormalize=False onto a "
+                "zero-probability outcome)")
+        outcome = int(self._rng.choice(p.size, p=p / norm))
         psi = self.project(psi, logical_qubits, outcome,
                            renormalize=renormalize)
         return psi, outcome

@@ -42,7 +42,8 @@ class SliceCost:
         self.max_size = tree.max_size(self.sliced)
 
 
-def _next_slice(tree: ContractionTree, sliced: set, target_size: float):
+def _next_slice(tree: ContractionTree, sliced: set, target_size: float,
+                max_candidates: int = 32):
     """The cheapest single index to slice next, drawn from the largest
     intermediates (progress on max size is guaranteed), or None."""
     out_set = set(tree.output)
@@ -57,6 +58,17 @@ def _next_slice(tree: ContractionTree, sliced: set, target_size: float):
     cand = set(tree.node_inds[largest]) - sliced - out_set
     if not cand:
         return None
+    if len(cand) > max_candidates:
+        # Pre-trim by how many nodes each index touches (shared indices
+        # shrink more intermediates per cut), largest dimension first.
+        counts = {i: 0 for i in cand}
+        for v in nodes:
+            for i in tree.node_inds[v]:
+                if i in counts:
+                    counts[i] += 1
+        cand = set(sorted(
+            cand, key=lambda i: (-counts[i], -tree.size_dict[i], i)
+        )[:max_candidates])
     best_i, best_c = None, None
     for i in sorted(cand):
         c = SliceCost(tree, frozenset(sliced | {i}))
@@ -85,7 +97,7 @@ def find_slices(tree: ContractionTree, target_size: float,
     """
     sliced: set = set()
     while True:
-        i = _next_slice(tree, sliced, target_size)
+        i = _next_slice(tree, sliced, target_size, max_candidates)
         if i is None:
             break
         sliced.add(i)

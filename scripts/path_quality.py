@@ -28,12 +28,14 @@ def supremacy_rqc(depth: int, seed: int = 0) -> Circuit:
     layers = sycamore.get_layers()
     qubits = sorted({q for cs in layers.values() for c in cs for q in c})
     seq = 'ABCDCDAB'
-    one_qb = ['SQRT_X', 'SQRT_Y', 'SQRT_W'] \
-        if 'SQRT_W' in () else ['SQRT_X', 'SQRT_Y']
+    # X/Y/W single-qubit set of the supremacy experiment; sqrt(W) is the
+    # pi/2 rotation about (X+Y)/sqrt(2), i.e. R_PI_2 at phi = pi/4.
+    one_qb = [Gate('SQRT_X'), Gate('SQRT_Y'),
+              Gate('R_PI_2', params=[np.pi / 4])]
     circ = Circuit()
     for d in range(depth):
         for q in qubits:
-            circ.append(Gate(one_qb[rng.integers(len(one_qb))], [q]))
+            circ.append(one_qb[rng.integers(len(one_qb))].on([q]))
         for pair in layers[seq[d % len(seq)]]:
             circ.append(Gate('FSIM', list(pair),
                              params=[np.pi / 2, np.pi / 6]))

@@ -138,6 +138,7 @@ def test_indexed_sharded_compiles_once_per_class():
     """Two structurally different circuits must not add programs."""
     if _n_devices() < 4:
         pytest.skip('not enough devices')
+    np.random.seed(0xC0FFEE)  # unseeded draws can exceed the class bound
     n = 7
     qubits = list(range(n))
     ev = ShardedIndexedEvolver(n_qubits=n, devices=jax.devices()[:4])
