@@ -23,7 +23,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ['hgp_available', 'bipartition', 'optimal_subpath',
-           'anneal_tree', 'slice_anneal_tree']
+           'anneal_tree', 'slice_anneal_tree', 'joint_anneal_tree']
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, 'hgpart.cpp'), os.path.join(_DIR, 'tnopt.cpp'),
@@ -95,8 +95,8 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
             ctypes.c_int, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_double, ctypes.c_uint,
-            ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_uint, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
         ]
@@ -113,6 +113,24 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_uint, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        ]
+        fn5 = lib.tn_joint_anneal
+        fn5.restype = ctypes.c_int
+        fn5.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_uint, ctypes.c_int, ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
@@ -246,7 +264,7 @@ def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
                 sliced: Sequence[str] = (), n_sweeps: int = 2000,
                 t0: float = 2.0, t1: float = 0.02,
                 width_target: float = 1e9, width_lambda: float = 1.0,
-                seed: int = 0,
+                excess_lambda: float = 0.0, seed: int = 0,
                 patience: int = 0) -> Tuple[list, float, float]:
     """Simulated annealing over the contraction tree (native).
 
@@ -266,6 +284,7 @@ def anneal_tree(inputs: Sequence[Sequence[str]], output: Sequence[str],
     r = lib.tn_anneal(n, len(ind_ids), xinds, flat, logw, is_out, is_sl,
                       ssa_in, int(n_sweeps), float(t0), float(t1),
                       float(width_target), float(width_lambda),
+                      float(excess_lambda),
                       int(seed) & 0xffffffff, int(patience), ssa_out,
                       stats)
     if r != 0:
@@ -310,6 +329,53 @@ def slice_anneal_tree(inputs: Sequence[Sequence[str]],
         raise RuntimeError("Slicing did not converge.")
     if r != 0:
         raise RuntimeError(f"tn_slice_anneal failed (code {r})")
+    names = list(ind_ids)
+    sliced_names = [names[i] for i in range(len(ind_ids)) if out_sl[i]]
+    pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
+             for k in range(n - 1)]
+    return pairs, sliced_names, float(stats[0]), float(stats[1])
+
+
+def joint_anneal_tree(inputs: Sequence[Sequence[str]],
+                      output: Sequence[str], size_dict,
+                      ssa_pairs: Sequence[Tuple[int, int]],
+                      target_size: float,
+                      sliced: Sequence[str] = (),
+                      n_sweeps: int = 20000, t0: float = 1.0,
+                      t1: float = 0.02, width_lambda: float = 2.0,
+                      excess_lambda: float = 0.0,
+                      slice_moves_per_sweep: int = 2, seed: int = 0,
+                      max_slices: int = 120, patience: int = 0
+                      ) -> Tuple[list, list, float, float]:
+    """Native joint annealing over (tree, slice set).
+
+    The slice set is itself a Metropolis move, so the tree co-optimizes
+    with the cuts under the true total sliced cost (slicing-aware
+    hyper-optimization, the reference's cotengra ``SliceFinder`` +
+    hyper search, ``simulation.py:1037-1048``).  ``sliced`` seeds the
+    starting slice set (all seeded indices may be un-sliced).  Returns
+    ``(ssa_pairs, sliced_names, log2_residual_flops, log2_width)``.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tree_anneal library unavailable")
+    import math
+
+    n = len(inputs)
+    ind_ids, xinds, flat, logw, is_out, is_sl, ssa_in = _marshal_tree(
+        inputs, output, size_dict, ssa_pairs, sliced)
+    ssa_out = np.zeros(2 * (n - 1), dtype=np.int32)
+    out_sl = np.zeros(len(ind_ids), dtype=np.uint8)
+    stats = np.zeros(3, dtype=np.float64)
+    r = lib.tn_joint_anneal(
+        n, len(ind_ids), xinds, flat, logw, is_out, is_sl, ssa_in,
+        math.log2(max(target_size, 1)), int(n_sweeps), float(t0),
+        float(t1), float(width_lambda), float(excess_lambda),
+        int(slice_moves_per_sweep),
+        int(seed) & 0xffffffff, int(max_slices), int(patience),
+        ssa_out, out_sl, stats)
+    if r != 0:
+        raise RuntimeError(f"tn_joint_anneal failed (code {r})")
     names = list(ind_ids)
     sliced_names = [names[i] for i in range(len(ind_ids)) if out_sl[i]]
     pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))

@@ -7,13 +7,18 @@
 // comparable quality through cotengra's Bayesian hyper-optimization,
 // hybridq/circuit/simulation/simulation.py:920-983).
 //
-// Two entry points:
+// Three entry points:
 //   tn_anneal        — anneal a tree under fixed sliced weights;
-//   tn_slice_anneal  — full slice-and-anneal descent: greedily slice
-//                      the cheapest index (total-flops scored) from the
+//   tn_slice_anneal  — slice-and-anneal descent: greedily slice the
+//                      cheapest index (total-flops scored) from the
 //                      largest intermediate, re-anneal, repeat until the
 //                      width target is met (cotengra's slicing_reconf,
-//                      reference slicing at simulation.py:1037-1076).
+//                      reference slicing at simulation.py:1037-1076);
+//   tn_joint_anneal  — joint annealing over (tree, slice set): the
+//                      slice set itself is a Metropolis move, so tree
+//                      structure and cuts co-optimize under the true
+//                      total sliced cost (the fix for flop-optimal
+//                      trees slicing catastrophically).
 //
 // Tree model matches path.py:ContractionTree exactly:
 //   inds(v)  = indices under v retained (appear outside v or in output)
@@ -78,10 +83,24 @@ struct Anneal {
     vector<double> logflops;   // internal nodes
     vector<double> logsize;
     vector<double> lw;         // effective per-index log2 weights
+    vector<double> base_lw;    // original weights (for un-slicing)
+    vector<char> sliced;       // current slice set (joint anneal)
+    double slice_bits = 0;     // sum of base_lw over sliced indices
     Bits out_mask{0};
     std::multiset<double> sizes;
     double total = 0;
+    // Sliceability pressure: sum over nodes of max(0, logsize - target).
+    // Minimizing the *count/depth* of oversized nodes (not just the max)
+    // drives the tree toward structures whose width collapses with few
+    // sliced indices.
+    double excess_target = 1e9;
+    double excess_lambda = 0.0;
+    double sum_excess = 0;
     std::mt19937 rng;
+
+    double excess_of(double ls) const {
+        return ls > excess_target ? ls - excess_target : 0.0;
+    }
 
     double weight_of(const Bits& m) const {
         double s = 0;
@@ -165,9 +184,11 @@ struct Anneal {
         const int total_nodes = 2 * n - 1;
         sizes.clear();
         total = 0;
+        sum_excess = 0;
         for (int v = 0; v < total_nodes; v++) {
             logsize[v] = weight_of(inds[v]);
             sizes.insert(logsize[v]);
+            sum_excess += excess_of(logsize[v]);
         }
         for (int v = n; v < total_nodes; v++) {
             logflops[v] = node_flops_exp(v);
@@ -178,9 +199,10 @@ struct Anneal {
     double width() const { return *sizes.rbegin(); }
 
     double objective(double tot, double w, double width_target,
-                     double width_lambda) const {
+                     double width_lambda, double excess) const {
         double o = std::log2(std::max(tot, 1.0));
         if (w > width_target) o += width_lambda * (w - width_target);
+        o += excess_lambda * excess;
         return o;
     }
 
@@ -197,7 +219,7 @@ struct Anneal {
             init_max_flops + 2.0);
 
         double cur_obj = objective(total, width(), width_target,
-                                   width_lambda);
+                                   width_lambda, sum_excess);
         vector<int> best_left(left), best_right(right);
         double best_obj = cur_obj;
         bool improved_since_snapshot = false;
@@ -221,7 +243,7 @@ struct Anneal {
                 for (int v = n; v < total_nodes; v++)
                     total += std::exp2(logflops[v]);
                 cur_obj = objective(total, width(), width_target,
-                                    width_lambda);
+                                    width_lambda, sum_excess);
             }
             for (int it = 0; it < proposals; it++) {
                 const int v = pick(rng);
@@ -248,8 +270,11 @@ struct Anneal {
                 auto itB = sizes.find(logsize[B]);
                 sizes.erase(itB);
                 sizes.insert(szB);
+                const double new_excess = sum_excess -
+                    excess_of(logsize[B]) + excess_of(szB);
                 const double new_obj = objective(
-                    new_total, width(), width_target, width_lambda);
+                    new_total, width(), width_target, width_lambda,
+                    new_excess);
                 const double d = new_obj - cur_obj;
                 if (d <= 0 ||
                     (temp > 0 && unif(rng) < std::exp(-d / temp))) {
@@ -262,6 +287,7 @@ struct Anneal {
                     parent[B] = v;
                     parent[D] = v;
                     inds[B] = newB;
+                    sum_excess = new_excess;
                     logsize[B] = szB;
                     logflops[B] = fB;
                     logflops[v] = fV;
@@ -388,6 +414,276 @@ struct Anneal {
         lw[i] = 0.0;
         recompute_costs();
     }
+
+    // ---- joint (tree + slice set) annealing ------------------------
+
+    void init_joint(const double* logw, const uint8_t* is_sliced) {
+        base_lw.assign(logw, logw + n_inds);
+        sliced.assign(n_inds, 0);
+        slice_bits = 0;
+        for (int i = 0; i < n_inds; i++)
+            if (is_sliced && is_sliced[i]) {
+                sliced[i] = 1;
+                slice_bits += base_lw[i];
+            }
+    }
+
+    // Residual total + width + excess if index i toggles its state.
+    void trial_slice(int i, bool to_sliced, double& new_total,
+                     double& new_width, double& new_excess) const {
+        const double w = base_lw[i] * (to_sliced ? -1.0 : 1.0);
+        const int total_nodes = 2 * n - 1;
+        double tot = 0, wmax = 0, exc = 0;
+        for (int v = 0; v < total_nodes; v++) {
+            double ls = logsize[v];
+            if (inds[v].get(i)) ls += w;
+            if (ls > wmax) wmax = ls;
+            exc += excess_of(ls);
+        }
+        for (int v = n; v < total_nodes; v++) {
+            double f = logflops[v];
+            if (inds[left[v]].get(i) || inds[right[v]].get(i)) f += w;
+            tot += std::exp2(f);
+        }
+        new_total = tot;
+        new_width = wmax;
+        new_excess = exc;
+    }
+
+    void commit_slice(int i, bool to_sliced) {
+        const double w = base_lw[i] * (to_sliced ? -1.0 : 1.0);
+        lw[i] = to_sliced ? 0.0 : base_lw[i];
+        const int total_nodes = 2 * n - 1;
+        for (int v = 0; v < total_nodes; v++)
+            if (inds[v].get(i)) {
+                auto it = sizes.find(logsize[v]);
+                sizes.erase(it);
+                sum_excess -= excess_of(logsize[v]);
+                logsize[v] += w;
+                sizes.insert(logsize[v]);
+                sum_excess += excess_of(logsize[v]);
+            }
+        total = 0;
+        for (int v = n; v < total_nodes; v++) {
+            if (inds[left[v]].get(i) || inds[right[v]].get(i))
+                logflops[v] += w;
+            total += std::exp2(logflops[v]);
+        }
+        sliced[i] = to_sliced;
+        slice_bits += to_sliced ? base_lw[i] : -base_lw[i];
+    }
+
+    double joint_obj(double tot, double sl_bits, double w,
+                     double target, double lambda,
+                     double excess) const {
+        double o = std::log2(std::max(tot, 1.0)) + sl_bits;
+        if (w > target) o += lambda * (w - target);
+        o += excess_lambda * excess;
+        return o;
+    }
+
+    // Pick a slice-add candidate: a random non-output, non-sliced index
+    // of the largest node (or of a random oversized node).
+    int pick_add(double target) {
+        const int total_nodes = 2 * n - 1;
+        int v_big = 0;
+        for (int v = 1; v < total_nodes; v++)
+            if (logsize[v] > logsize[v_big]) v_big = v;
+        int v_pick = v_big;
+        if (std::uniform_real_distribution<double>(0, 1)(rng) < 0.5) {
+            // any node above target, chosen by reservoir sampling
+            int cnt = 0;
+            std::uniform_real_distribution<double> u(0, 1);
+            for (int v = 0; v < total_nodes; v++)
+                if (logsize[v] > target) {
+                    cnt++;
+                    if (u(rng) < 1.0 / cnt) v_pick = v;
+                }
+        }
+        vector<int> cand;
+        for (int i = 0; i < n_inds; i++)
+            if (inds[v_pick].get(i) && !sliced[i] && !out_mask.get(i) &&
+                base_lw[i] > 0)
+                cand.push_back(i);
+        if (cand.empty()) return -1;
+        return cand[std::uniform_int_distribution<int>(
+            0, (int)cand.size() - 1)(rng)];
+    }
+
+    int pick_remove() {
+        vector<int> cand;
+        for (int i = 0; i < n_inds; i++)
+            if (sliced[i]) cand.push_back(i);
+        if (cand.empty()) return -1;
+        return cand[std::uniform_int_distribution<int>(
+            0, (int)cand.size() - 1)(rng)];
+    }
+
+    // Joint annealing over (tree, slice set).  Objective:
+    //   log2(2^slice_bits * residual_total) + lambda*max(0, width-target)
+    // Tree rotations at fixed slices + Metropolis slice add/remove moves.
+    // Ends at the best *feasible* (width <= target) state seen, falling
+    // back to the best penalized state.
+    void run_joint(int n_steps, double t0, double t1, double target,
+                   double lambda, int slice_moves, int max_slices,
+                   int patience) {
+        const int total_nodes = 2 * n - 1;
+        double init_max_flops = 0;
+        for (int v = n; v < total_nodes; v++)
+            init_max_flops = std::max(init_max_flops, logflops[v]);
+        const double cap = std::max(target + 10.0, init_max_flops + 2.0);
+
+        double cur_obj = joint_obj(total, slice_bits, width(), target,
+                                   lambda, sum_excess);
+        vector<int> best_left(left), best_right(right);
+        vector<char> best_sliced(sliced);
+        double best_obj = cur_obj;
+        bool best_feasible = width() <= target + 1e-9;
+        const bool have_best = true;  // start state is a valid fallback
+
+        std::uniform_real_distribution<double> unif(0.0, 1.0);
+        std::uniform_int_distribution<int> pick(n, total_nodes - 1);
+        const double decay =
+            (n_steps > 1) ? std::pow(t1 / std::max(t0, 1e-9),
+                                     1.0 / (n_steps - 1))
+                          : 1.0;
+        double temp = t0;
+        Bits newB(words), tmp(words);
+        const int proposals = std::max(1, n - 1);
+        int last_improve = 0;
+
+        for (int sweep = 0; sweep < n_steps; sweep++, temp *= decay) {
+            if (patience > 0 && sweep - last_improve > patience) break;
+            if ((sweep & 31) == 0) {
+                total = 0;
+                for (int v = n; v < total_nodes; v++)
+                    total += std::exp2(logflops[v]);
+                cur_obj = joint_obj(total, slice_bits, width(), target,
+                                    lambda, sum_excess);
+            }
+            // --- tree rotations (slices fixed) ---
+            for (int it = 0; it < proposals; it++) {
+                const int v = pick(rng);
+                int A = left[v], B = right[v];
+                if (unif(rng) < 0.5) std::swap(A, B);
+                if (B < n) {
+                    if (A < n) continue;
+                    std::swap(A, B);
+                }
+                int C = left[B], D = right[B];
+                if (unif(rng) < 0.5) std::swap(C, D);
+                bits_or_and(inds[A], inds[C], inds[v], inds[D], newB);
+                const double szB = weight_of(newB);
+                bits_or(inds[A], inds[C], tmp);
+                const double fB = weight_of(tmp);
+                if (fB > cap) continue;
+                bits_or(newB, inds[D], tmp);
+                const double fV = weight_of(tmp);
+                if (fV > cap) continue;
+
+                const double new_total = total -
+                    std::exp2(logflops[B]) - std::exp2(logflops[v]) +
+                    std::exp2(fB) + std::exp2(fV);
+                auto itB = sizes.find(logsize[B]);
+                sizes.erase(itB);
+                sizes.insert(szB);
+                const double new_excess = sum_excess -
+                    excess_of(logsize[B]) + excess_of(szB);
+                const double new_obj = joint_obj(
+                    new_total, slice_bits, width(), target, lambda,
+                    new_excess);
+                const double d = new_obj - cur_obj;
+                if (d <= 0 ||
+                    (temp > 0 && unif(rng) < std::exp(-d / temp))) {
+                    left[v] = B;
+                    right[v] = D;
+                    left[B] = A;
+                    right[B] = C;
+                    parent[A] = B;
+                    parent[C] = B;
+                    parent[B] = v;
+                    parent[D] = v;
+                    inds[B] = newB;
+                    sum_excess = new_excess;
+                    logsize[B] = szB;
+                    logflops[B] = fB;
+                    logflops[v] = fV;
+                    total = new_total;
+                    cur_obj = new_obj;
+                } else {
+                    auto itN = sizes.find(szB);
+                    sizes.erase(itN);
+                    sizes.insert(logsize[B]);
+                    continue;
+                }
+                const bool feas = width() <= target + 1e-9;
+                if ((feas && !best_feasible) ||
+                    (feas == best_feasible &&
+                     cur_obj < best_obj - 1e-12)) {
+                    best_obj = cur_obj;
+                    best_left = left;
+                    best_right = right;
+                    best_sliced = sliced;
+                    best_feasible = feas;
+                    last_improve = sweep;
+                }
+            }
+            // --- slice add/remove moves ---
+            for (int sm = 0; sm < slice_moves; sm++) {
+                int n_sl = 0;
+                for (int i = 0; i < n_inds; i++) n_sl += sliced[i];
+                const bool do_add =
+                    (width() > target + 1e-9 || n_sl == 0 ||
+                     unif(rng) < 0.5);
+                int i = -1;
+                bool to_sliced = true;
+                if (do_add) {
+                    if (n_sl >= max_slices) continue;
+                    i = pick_add(target);
+                } else {
+                    i = pick_remove();
+                    to_sliced = false;
+                }
+                if (i < 0) continue;
+                double new_total, new_width, new_excess;
+                trial_slice(i, to_sliced, new_total, new_width,
+                            new_excess);
+                const double new_bits = slice_bits +
+                    (to_sliced ? base_lw[i] : -base_lw[i]);
+                const double new_obj = joint_obj(
+                    new_total, new_bits, new_width, target, lambda,
+                    new_excess);
+                const double d = new_obj - cur_obj;
+                if (d <= 0 ||
+                    (temp > 0 && unif(rng) < std::exp(-d / temp))) {
+                    commit_slice(i, to_sliced);
+                    cur_obj = new_obj;
+                    const bool feas = new_width <= target + 1e-9;
+                    if ((feas && !best_feasible) ||
+                        (feas == best_feasible &&
+                         cur_obj < best_obj - 1e-12)) {
+                        best_obj = cur_obj;
+                        best_left = left;
+                        best_right = right;
+                        best_sliced = sliced;
+                        best_feasible = feas;
+                        last_improve = sweep;
+                    }
+                }
+            }
+        }
+        // Restore the best state seen.
+        if (have_best) {
+            for (int i = 0; i < n_inds; i++) {
+                sliced[i] = best_sliced[i];
+                lw[i] = sliced[i] ? 0.0 : base_lw[i];
+            }
+            slice_bits = 0;
+            for (int i = 0; i < n_inds; i++)
+                if (sliced[i]) slice_bits += base_lw[i];
+            rebuild_from(best_left, best_right);
+        }
+    }
 };
 
 }  // namespace
@@ -400,13 +696,19 @@ int tn_anneal(int n_tensors, int n_inds, const int* xinds,
               const int* ind_ids, const double* logw,
               const uint8_t* is_out, const uint8_t* is_sliced,
               const int* ssa_in, int n_steps, double t0, double t1,
-              double width_target, double width_lambda, unsigned seed,
+              double width_target, double width_lambda,
+              double excess_lambda, unsigned seed,
               int patience, int* ssa_out, double* out_stats) {
     if (n_tensors < 3 || n_inds <= 0) return 1;
     Anneal a;
     int rc = a.init(n_tensors, n_inds, xinds, ind_ids, logw, is_out,
                     is_sliced, ssa_in, seed);
     if (rc) return rc;
+    if (excess_lambda > 0) {
+        a.excess_target = width_target;
+        a.excess_lambda = excess_lambda;
+        a.recompute_costs();
+    }
     a.run(n_steps, t0, t1, width_target, width_lambda, patience);
     rc = a.emit(ssa_out);
     if (rc) return rc;
@@ -462,6 +764,46 @@ int tn_slice_anneal(int n_tensors, int n_inds, const int* xinds,
         out_stats[0] = std::log2(std::max(a.total, 1.0));
         out_stats[1] = a.width();
         out_stats[2] = n_sliced;
+    }
+    return 0;
+}
+
+// Joint annealing over (tree, slice set): tree rotations + Metropolis
+// slice add/remove moves under the true sliced-cost objective
+//   log2(2^slice_bits * residual_flops) + lambda*max(0, width - target).
+// is_sliced seeds the starting slice set (all seeded indices are free to
+// be un-sliced).  Returns the best feasible state seen.
+//   out_stats[3] = {log2 residual flops, log2 width, slice_bits}
+int tn_joint_anneal(int n_tensors, int n_inds, const int* xinds,
+                    const int* ind_ids, const double* logw,
+                    const uint8_t* is_out, const uint8_t* is_sliced,
+                    const int* ssa_in, double target_log2_width,
+                    int n_steps, double t0, double t1,
+                    double width_lambda, double excess_lambda,
+                    int slice_moves_per_sweep,
+                    unsigned seed, int max_slices, int patience,
+                    int* ssa_out, uint8_t* out_sliced,
+                    double* out_stats) {
+    if (n_tensors < 3 || n_inds <= 0) return 1;
+    Anneal a;
+    int rc = a.init(n_tensors, n_inds, xinds, ind_ids, logw, is_out,
+                    is_sliced, ssa_in, seed);
+    if (rc) return rc;
+    if (excess_lambda > 0) {
+        a.excess_target = target_log2_width;
+        a.excess_lambda = excess_lambda;
+        a.recompute_costs();
+    }
+    a.init_joint(logw, is_sliced);
+    a.run_joint(n_steps, t0, t1, target_log2_width, width_lambda,
+                slice_moves_per_sweep, max_slices, patience);
+    rc = a.emit(ssa_out);
+    if (rc) return rc;
+    for (int i = 0; i < n_inds; i++) out_sliced[i] = a.sliced[i];
+    if (out_stats) {
+        out_stats[0] = std::log2(std::max(a.total, 1.0));
+        out_stats[1] = a.width();
+        out_stats[2] = a.slice_bits;
     }
     return 0;
 }

@@ -32,6 +32,24 @@ __all__ = ['update_pauli_string', 'expectation_value']
 
 _PAULI_NAMES = 'IXYZ'
 _PAULIS = [Gate(g).matrix().astype('complex128') for g in _PAULI_NAMES]
+_PAULI_BYTES = np.frombuffer(b'IXYZ', dtype=np.uint8)
+_PAULI_BASIS_CACHE: dict = {}
+
+
+def _pauli_basis(k: int) -> np.ndarray:
+    """Stacked k-qubit Pauli basis [4^k, 2^k, 2^k] (cached)."""
+    out = _PAULI_BASIS_CACHE.get(k)
+    if out is None:
+        out = np.stack([kron(*(_PAULIS[int(c)] for c in digits))
+                        for digits in product(range(4), repeat=k)])
+        _PAULI_BASIS_CACHE[k] = out
+    return out
+
+
+def _string_keys(codes: np.ndarray):
+    """Vectorized Pauli-string keys for a [B, n] uint8 code batch."""
+    chars = _PAULI_BYTES[codes]
+    return [row.tobytes().decode('ascii') for row in chars]
 
 
 def _pauli_rows(U: np.ndarray, eps: float):
@@ -44,15 +62,16 @@ def _pauli_rows(U: np.ndarray, eps: float):
     """
     dim = U.shape[0]
     k = int(round(np.log2(dim)))
-    paulis = [kron(*(_PAULIS[int(c)] for c in digits))
-              for digits in product(range(4), repeat=k)]
+    paulis = _pauli_basis(k)
     Ud = U.conj().T
+    # M[s] = U† P_s U, coeffs[s, t] = Re tr(P_t M_s) / dim — one batched
+    # einsum instead of 16^k Python-loop matmuls.
+    M = np.einsum('ij,sjk,kl->sil', Ud, paulis, U, optimize=True)
+    coeffs_all = np.real(np.einsum('tij,sji->st', paulis, M,
+                                   optimize=True)) / dim
     rows = []
     for s in range(4**k):
-        M = Ud @ paulis[s] @ U
-        coeffs = np.array(
-            [np.real(np.trace(paulis[t] @ M)) / dim
-             for t in range(4**k)])
+        coeffs = coeffs_all[s]
         sel = np.abs(coeffs) > eps
         ts = np.nonzero(sel)[0].astype(np.int64)
         # Largest-weight first: deeper branches die sooner under
@@ -115,17 +134,185 @@ def _merge_batch(codes, phases):
     return uniq, summed
 
 
+def _check_memory(max_virtual_memory):
+    """Abort when system virtual memory use crosses the threshold
+    (reference ``clifford.py:719-722``)."""
+    if max_virtual_memory is None:
+        return
+    import psutil
+
+    pct = psutil.virtual_memory().percent
+    if pct > max_virtual_memory:
+        raise MemoryError(
+            f"Memory above threshold: {pct}% > {max_virtual_memory}%")
+
+
+_GATE_TABLE_CACHE: dict = {}
+
+
+def _gate_tables(rows, k):
+    """Dense (padded) Pauli-transfer tables for the device kernel:
+    ``ts_tab[s, t]`` target codes, ``cs_tab[s, t]`` coefficients (0 pads).
+    """
+    nt = max((len(ts) for ts, _ in rows), default=1) or 1
+    ts_tab = np.zeros((4**k, nt), dtype=np.int32)
+    cs_tab = np.zeros((4**k, nt), dtype=np.float32)
+    for s, (ts, cs) in enumerate(rows):
+        ts_tab[s, :len(ts)] = ts
+        cs_tab[s, :len(cs)] = cs
+    return ts_tab, cs_tab
+
+
+_JAX_KERNEL_CACHE: dict = {}
+
+
+def _jax_expand_kernel(k: int, nt: int, n: int):
+    """Jitted full-batch Pauli-transfer expansion (device variant of
+    ``_apply_gate_batch``): uint8 frontier rows expand by a fixed factor
+    ``nt``; compaction happens host-side between gates.  Elementwise +
+    gather only, so the batch axis shards cleanly over a mesh."""
+    key = (k, nt, n)
+    fn = _JAX_KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    def expand(codes, phases, qs, ts_tab, cs_tab):
+        # local substring code: qs[0] most significant
+        sub = jnp.take(codes, qs, axis=1).astype(jnp.int32)   # [B, k]
+        w = 4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+        local = (sub * w[None, :]).sum(axis=1)                # [B]
+        ts = jnp.take(ts_tab, local, axis=0)                  # [B, nt]
+        cs = jnp.take(cs_tab, local, axis=0)                  # [B, nt]
+        new_phases = phases[:, None] * cs                     # [B, nt]
+        out = jnp.broadcast_to(codes[:, None, :],
+                               (codes.shape[0], nt, n))
+        cols = jnp.arange(n, dtype=jnp.int32)
+        for j in range(k):
+            dig = ((ts >> (2 * (k - 1 - j))) & 3).astype(jnp.uint8)
+            sel = (cols == qs[j])[None, None, :]
+            out = jnp.where(sel, dig[:, :, None], out)
+        return (out.reshape(-1, n), new_phases.reshape(-1))
+
+    fn = jax.jit(expand)
+    _JAX_KERNEL_CACHE[key] = fn
+    return fn
+
+
+def _apply_gate_batch_jax(codes, phases, qs, rows, k, branch_atol,
+                          devices=None):
+    """Device-batched gate application: pad the batch to a power of two,
+    shard over ``devices`` along the batch axis, expand on device, then
+    compact on host."""
+    import jax
+    import jax.numpy as jnp
+
+    ts_tab, cs_tab = _gate_tables(rows, k)
+    nt = ts_tab.shape[1]
+    n = codes.shape[1]
+    B = len(codes)
+    ndev = len(devices) if devices else 1
+    # Pad to a multiple of devices (and a power of two for program reuse).
+    Bp = max(ndev, 1 << int(np.ceil(np.log2(max(B, 1)))))
+    Bp = ((Bp + ndev - 1) // ndev) * ndev
+    codes_p = np.zeros((Bp, n), dtype=np.uint8)
+    codes_p[:B] = codes
+    phases_p = np.zeros((Bp,), dtype=phases.dtype)
+    phases_p[:B] = phases
+
+    fn = _jax_expand_kernel(k, nt, n)
+    args = (codes_p, phases_p, np.asarray(qs, dtype=np.int32),
+            ts_tab, cs_tab)
+    if devices and ndev > 1:
+        mesh = jax.sharding.Mesh(np.asarray(devices), ('b',))
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec('b'))
+        rep = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())
+        args = (jax.device_put(args[0], sh), jax.device_put(args[1], sh),
+                jax.device_put(args[2], rep), jax.device_put(args[3], rep),
+                jax.device_put(args[4], rep))
+    out_codes, out_phases = fn(*args)
+    out_codes = np.asarray(out_codes)
+    out_phases = np.asarray(out_phases)
+    sel = np.abs(out_phases) > (branch_atol or 0.0)
+    return out_codes[sel], out_phases[sel]
+
+
+_WORKER_GATES = None
+
+
+def _init_worker(gates):
+    """Pool initializer: ship the preprocessed gate tables once per
+    worker instead of once per task."""
+    global _WORKER_GATES
+    _WORKER_GATES = gates
+
+
+def _dfs_chunk(args):
+    """Worker: depth-first evolution of one branch chunk; returns
+    (dict, n_explored, largest_batch).  Top-level for pickling
+    (reference Pool DFS, ``clifford.py:587-729``)."""
+    (gi0, codes, phases, branch_atol, atol, max_batch,
+     merge_every, max_virtual_memory) = args
+    gates = _WORKER_GATES
+    db = defaultdict(float)
+    n_explored = 0
+    largest = len(codes)
+    stack = [(gi0, codes, phases)]
+    while stack:
+        gi, codes, phases = stack.pop()
+        while gi < len(gates) and len(codes):
+            qs, rows, k = gates[gi]
+            codes, phases = _apply_gate_batch(codes, phases, qs, rows,
+                                              k, branch_atol)
+            gi += 1
+            if merge_every and gi % merge_every == 0:
+                codes, phases = _merge_batch(codes, phases)
+            largest = max(largest, len(codes))
+            _check_memory(max_virtual_memory)
+            if len(codes) > max_batch:
+                half = len(codes) // 2
+                stack.append((gi, codes[half:], phases[half:]))
+                codes, phases = codes[:half], phases[:half]
+        if not len(codes):
+            continue
+        n_explored += len(codes)
+        codes, phases = _merge_batch(codes, phases)
+        # No atol cut here: chunk contributions to the same string
+        # must sum before the caller's final filter.
+        for key, ph in zip(_string_keys(codes), phases):
+            db[key] += float(ph)
+    return dict(db), n_explored, largest
+
+
 def update_pauli_string(circuit, pauli_string, phase: float = 1,
                         parallel=False, return_info: bool = False,
                         use_mpi=None, compress: int = 4,
                         simplify: bool = True,
                         remove_id_gates: bool = True,
                         float_type='float32', verbose: bool = False,
+                        backend: str = 'numpy', devices=None,
                         **kwargs):
     """Expand ``C† P C`` in Pauli strings.
 
     Returns a dict mapping Pauli strings (over the sorted circuit qubits)
     to real amplitudes; with ``return_info=True`` also an info dict.
+
+    ``parallel``: False/1 = single process; True = all cores; int = that
+    many worker processes.  The frontier is grown breadth-first, split
+    into chunks, and each chunk's depth-first evolution runs in a
+    process pool with a final dict merge (reference BFS→DFS Pool
+    strategy, ``clifford.py:549-729, 1227-1386``).
+
+    ``backend='jax'`` runs the batch expansion on devices (the batch
+    axis shards over ``devices``, default all); compaction and the
+    final dict stay host-side.
+
+    ``max_virtual_memory`` (default 80): abort with ``MemoryError``
+    when system memory use exceeds this percentage (reference
+    ``clifford.py:719-722``).
     """
     float_type = np.dtype(float_type)
     kwargs.setdefault('eps',
@@ -135,6 +322,7 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
     kwargs.setdefault('branch_atol', kwargs['atol'])
     kwargs.setdefault('max_breadth_first_branches', 2**18)
     kwargs.setdefault('merge_interval', 4)
+    kwargs.setdefault('max_virtual_memory', 80)
 
     circuit = utils.flatten(Circuit(circuit))
     if remove_id_gates:
@@ -206,31 +394,111 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
     # Depth-first evolution with bounded batches.
     max_batch = int(kwargs['max_breadth_first_branches'])
     merge_every = int(kwargs['merge_interval'])
+    max_vm = kwargs['max_virtual_memory']
     db = defaultdict(float)
     info = {'n_explored_branches': 0, 'largest_batch': len(codes)}
 
-    stack = [(0, codes, phases)]
-    while stack:
-        gi, codes, phases = stack.pop()
-        while gi < len(gates) and len(codes):
+    # Worker count: True = all cores, int = that many, False/1 = serial.
+    if parallel is True:
+        import os as _os
+        n_workers = _os.cpu_count() or 1
+    else:
+        n_workers = max(int(parallel or 1), 1)
+
+    if backend == 'jax':
+        # Device-batched frontier: expansion runs on devices (batch axis
+        # sharded over the mesh); split/merge/compaction stay host-side.
+        import jax as _jax
+
+        devs = list(devices) if devices is not None else _jax.devices()
+        gi = 0
+        stack = [(0, codes, phases)]
+        while stack:
+            gi, codes, phases = stack.pop()
+            while gi < len(gates) and len(codes):
+                qs, rows, k = gates[gi]
+                codes, phases = _apply_gate_batch_jax(
+                    codes, phases, qs, rows, k, kwargs['branch_atol'],
+                    devices=devs)
+                gi += 1
+                if merge_every and gi % merge_every == 0:
+                    codes, phases = _merge_batch(codes, phases)
+                info['largest_batch'] = max(info['largest_batch'],
+                                            len(codes))
+                _check_memory(max_vm)
+                if len(codes) > max_batch:
+                    half = len(codes) // 2
+                    stack.append((gi, codes[half:], phases[half:]))
+                    codes, phases = codes[:half], phases[:half]
+            if not len(codes):
+                continue
+            info['n_explored_branches'] += len(codes)
+            codes, phases = _merge_batch(codes, phases)
+            for key, ph in zip(_string_keys(codes), phases):
+                db[key] += float(ph)
+    elif n_workers > 1 and len(gates):
+        # BFS until the frontier is wide enough to split, then DFS the
+        # chunks in a process pool and merge the result dicts
+        # (reference clifford.py:549-729, 1227-1386).
+        import multiprocessing as _mp
+
+        gi = 0
+        while gi < len(gates) and len(codes) and \
+                len(codes) < 4 * n_workers:
             qs, rows, k = gates[gi]
-            codes, phases = _apply_gate_batch(codes, phases, qs, rows, k,
-                                              kwargs['branch_atol'])
+            codes, phases = _apply_gate_batch(codes, phases, qs, rows,
+                                              k, kwargs['branch_atol'])
             gi += 1
-            if merge_every and gi % merge_every == 0:
-                codes, phases = _merge_batch(codes, phases)
+            codes, phases = _merge_batch(codes, phases)
             info['largest_batch'] = max(info['largest_batch'], len(codes))
-            if len(codes) > max_batch:
-                half = len(codes) // 2
-                stack.append((gi, codes[half:], phases[half:]))
-                codes, phases = codes[:half], phases[:half]
-        if not len(codes):
-            continue
-        info['n_explored_branches'] += len(codes)
-        codes, phases = _merge_batch(codes, phases)
-        for row, ph in zip(codes, phases):
-            key = ''.join(_PAULI_NAMES[c] for c in row)
-            db[key] += float(ph)
+        if gi >= len(gates) or not len(codes):
+            tasks = []
+            info['n_explored_branches'] += len(codes)
+            codes, phases = _merge_batch(codes, phases)
+            for key, ph in zip(_string_keys(codes), phases):
+                db[key] += float(ph)
+        else:
+            chunks = max(1, min(4 * n_workers, len(codes)))
+            idx = np.array_split(np.arange(len(codes)), chunks)
+            tasks = [(gi, codes[ix], phases[ix],
+                      kwargs['branch_atol'], kwargs['atol'], max_batch,
+                      merge_every, max_vm) for ix in idx if len(ix)]
+        if tasks:
+            with _mp.get_context('fork').Pool(
+                    n_workers, initializer=_init_worker,
+                    initargs=(gates,)) as pool:
+                for part, n_exp, largest in pool.imap_unordered(
+                        _dfs_chunk, tasks):
+                    for key, val in part.items():
+                        db[key] += val
+                    info['n_explored_branches'] += n_exp
+                    info['largest_batch'] = max(info['largest_batch'],
+                                                largest)
+    else:
+        stack = [(0, codes, phases)]
+        while stack:
+            gi, codes, phases = stack.pop()
+            while gi < len(gates) and len(codes):
+                qs, rows, k = gates[gi]
+                codes, phases = _apply_gate_batch(codes, phases, qs,
+                                                  rows, k,
+                                                  kwargs['branch_atol'])
+                gi += 1
+                if merge_every and gi % merge_every == 0:
+                    codes, phases = _merge_batch(codes, phases)
+                info['largest_batch'] = max(info['largest_batch'],
+                                            len(codes))
+                _check_memory(max_vm)
+                if len(codes) > max_batch:
+                    half = len(codes) // 2
+                    stack.append((gi, codes[half:], phases[half:]))
+                    codes, phases = codes[:half], phases[:half]
+            if not len(codes):
+                continue
+            info['n_explored_branches'] += len(codes)
+            codes, phases = _merge_batch(codes, phases)
+            for row, ph in zip(codes, phases):
+                db[''.join(_PAULI_NAMES[c] for c in row)] += float(ph)
 
     # Drop negligible strings.
     atol = kwargs['atol']
