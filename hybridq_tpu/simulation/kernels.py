@@ -118,6 +118,72 @@ def _build_kernel_deferred(n: int, k_hi: int, k_lo: int, L: int):
     return jax.jit(apply, donate_argnums=(0, 1))
 
 
+def _build_kernel_ext(n: int, k_hi: int, k_lo: int, L: int,
+                      rotate: bool):
+    """Extended low-7 kernel: gate lo bits live anywhere in the physical
+    low-7 column bits and the (2^k)² gate matrix is extended *on device*
+    to a (2^kh·128)² operator on (row slots × low-7) — so column bits
+    never need gathering for the gate itself (the 44 ms column gather was
+    4× a state copy).  Bits 7..L-1 ride along as a batch axis.
+
+    ``rotate=True`` prepends a fused column gather (a 2^L index vector)
+    that re-homes cold column bits before the gate — used when a gate's
+    column bits sit outside the physical low-7.
+
+    Requires L == 10 and n - L >= k_hi (callers gate on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = k_hi + k_lo
+    R = 2**(n - L)
+    C = 2**L
+    KH = 2**k_hi
+    Rg = R // KH
+    G = C // 128  # bits 7..L-1 batch axis
+
+    def apply(re, im, Ur, Ui, uperm, pperm, rp=None, inv_rowmap=None,
+              cperm=None):
+        # Reorder raw gate matrix to [hi..., lo...] bit order.
+        Ur = jnp.take(jnp.take(Ur, uperm, axis=0), uperm, axis=1)
+        Ui = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
+        # Extend over the full low-7: W = P^T (U ⊗ I_{2^(7-kl)}) P with
+        # P placing the gate's lo bits at their *physical* columns.
+        # idx[(b, x)] = b·128 + pperm[x] maps physical (b, x) to kron
+        # index order (b, lo-gate bits, rest).
+        eye = jnp.eye(2**(7 - k_lo), dtype=Ur.dtype)
+        Wr = jnp.kron(Ur, eye)
+        Wi = jnp.kron(Ui, eye)
+        idx = (jnp.arange(KH, dtype=jnp.int32)[:, None] * 128 +
+               pperm[None, :]).reshape(-1)
+        Wr = jnp.take(jnp.take(Wr, idx, axis=0), idx, axis=1)
+        Wi = jnp.take(jnp.take(Wi, idx, axis=0), idx, axis=1)
+        Wr = Wr.reshape(KH, 128, KH, 128)
+        Wi = Wi.reshape(KH, 128, KH, 128)
+        # Materialize W before the einsum: without the barrier XLA fuses
+        # the kron+gather build INTO the einsum and recomputes it per
+        # output tile (measured 6-10x slowdowns on some classes).
+        Wr, Wi = jax.lax.optimization_barrier((Wr, Wi))
+
+        re = jnp.reshape(re, (R, C))
+        im = jnp.reshape(im, (R, C))
+        if rotate:
+            re = jnp.take(re, cperm, axis=1)
+            im = jnp.take(im, cperm, axis=1)
+        if k_hi:
+            eff_r = jnp.take(inv_rowmap, rp)
+            re = jnp.take(re, eff_r, axis=0)
+            im = jnp.take(im, eff_r, axis=0)
+        re = re.reshape(Rg, KH, G, 128)
+        im = im.reshape(Rg, KH, G, 128)
+        o_re = jnp.einsum('rBgX,bxBX->rbgx', re, Wr) - \
+            jnp.einsum('rBgX,bxBX->rbgx', im, Wi)
+        o_im = jnp.einsum('rBgX,bxBX->rbgx', im, Wr) + \
+            jnp.einsum('rBgX,bxBX->rbgx', re, Wi)
+        return (jnp.reshape(o_re, (-1,)), jnp.reshape(o_im, (-1,)))
+
+    return jax.jit(apply, donate_argnums=(0, 1))
+
+
 def _build_flush(n: int, L: int):
     """One gather restoring canonical layout from (rowmap, colmap)."""
     import jax
@@ -192,6 +258,86 @@ def _build_kernel(n: int, k_hi: int, k_lo: int, L: int):
     return jax.jit(apply, donate_argnums=(0, 1))
 
 
+def _ext_class_cost(k: int, kh: int, kl: int) -> float:
+    """Measured per-application cost (ms, 28q v5e) by kernel class —
+    drives the pairing scheduler's merge decisions."""
+    if kl == 0:
+        return 42.0 + (4.0 if k >= 7 else 0.0)
+    return {0: 24.0, 1: 40.0, 2: 45.0, 3: 50.0, 4: 68.0,
+            5: 110.0}.get(kh, 1e9)
+
+
+def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
+                      max_k: int = 8):
+    """Fuse gates into larger blocks when the fused kernel class is
+    cheaper than two applications (the analog of the reference's
+    ``compress`` pre-pass, ``circuit/utils.py:467``, applied at the
+    engine's cost model).
+
+    ``items`` is a list of ``(U, qs)`` with dense qubit indices; gates
+    may jump over earlier gates they commute with (disjoint supports).
+    Returns a new ``(U, qs)`` list.
+    """
+    items = list(items)
+    used = [False] * len(items)
+    out = []
+    for i in range(len(items)):
+        if used[i]:
+            continue
+        used[i] = True
+        cur = [items[i]]
+        qs_set = set(items[i][1])
+        cost = _ext_class_cost(*_class_of(items[i][1], n, L))
+        blocked: set = set()
+        for j in range(i + 1, len(items)):
+            if used[j]:
+                continue
+            Uj, qsj = items[j]
+            if set(qsj) & blocked:
+                blocked |= set(qsj)
+                continue
+            union = qs_set | set(qsj)
+            k, kh, kl = _class_of(union, n, L)
+            if k > max_k or kl > 7 or (kl and kh > 4):
+                blocked |= set(qsj)
+                continue
+            new_cost = _ext_class_cost(k, kh, kl)
+            old_cost = cost + _ext_class_cost(*_class_of(qsj, n, L))
+            if new_cost >= old_cost - 4.0:
+                blocked |= set(qsj)
+                continue
+            used[j] = True
+            cur.append(items[j])
+            qs_set = union
+            cost = new_cost
+            if len(qs_set) >= max_k:
+                break
+        if len(cur) == 1:
+            out.append(cur[0])
+        else:
+            out.append(_compose_matrix_gates(cur))
+    return out
+
+
+def _class_of(qs, n, L):
+    bits = [n - 1 - q for q in qs]
+    kh = sum(1 for b in bits if b >= L)
+    return len(bits), kh, len(bits) - kh
+
+
+def _compose_matrix_gates(items):
+    """Compose a list of (U, qs) into one fused (U, qs) block (applied
+    left-to-right) via the circuit toolbox."""
+    from hybridq_tpu.circuit import Circuit
+    from hybridq_tpu.circuit import utils as cutils
+    from hybridq_tpu.gate import MatrixGate
+
+    g = cutils.to_matrix_gate(
+        Circuit(MatrixGate(np.asarray(U)).on(list(qs))
+                for U, qs in items), complex_type='complex128')
+    return np.asarray(g.matrix()), tuple(g.qubits)
+
+
 class IndexedEvolver:
     """Single-chip evolution with one compiled kernel per gate-size class.
 
@@ -222,6 +368,16 @@ class IndexedEvolver:
         self.defer = bool(defer) and not self.use_pallas
         self._inv_rowmap = None  # device arrays; None = identity
         self._inv_colmap = None
+        # Extended low-7 path (L=10 only): column-bit gates apply via a
+        # device-extended (2^kh·128)² operator; the column layout is a
+        # host-tracked 10-entry bit permutation ("shadow") and columns
+        # only physically move on cold hits (the 44 ms column gather was
+        # 4x a state copy).
+        self.ext = (self.defer and self.L == 10 and self.n - self.L >= 4)
+        self._col_shadow = list(range(min(self.L, self.n)))  # phys->canon
+        self._col_pos = list(range(min(self.L, self.n)))     # canon->phys
+        self._col_use = [0] * min(self.L, self.n)            # canon->tick
+        self._tick = 0
 
     def _kernel(self, k_hi, k_lo):
         key = (self.n, k_hi, k_lo, self.L, str(self.float_type),
@@ -243,9 +399,24 @@ class IndexedEvolver:
             self._perm_cache[key] = out
         return out
 
+    def _shadow_colmap(self):
+        """Canonicalizing column index vector from the host-tracked
+        shadow: ``out[:, j] = data[:, m[j]]`` restores canonical order
+        (``m[j]`` places canonical bit c at physical ``pos(c)``)."""
+        import jax.numpy as jnp
+
+        Lc = min(self.L, self.n)
+        j = np.arange(2**Lc, dtype=np.int64)
+        m = np.zeros_like(j)
+        for c, p in enumerate(self._col_pos):
+            m |= ((j >> c) & 1) << p
+        return jnp.asarray(m.astype(np.int32))
+
     def flush(self, state):
         """Restore canonical layout (no-op if already canonical)."""
-        if self._inv_rowmap is None and self._inv_colmap is None:
+        shadow_id = self._col_shadow == list(range(len(self._col_shadow)))
+        if self._inv_rowmap is None and self._inv_colmap is None and \
+                shadow_id:
             return state
         key = ('flush', self.n, self.L)
         fn = _KERNEL_CACHE.get(key)
@@ -256,12 +427,18 @@ class IndexedEvolver:
         C = 2**min(self.L, self.n)
         rowmap = self._inv_rowmap if self._inv_rowmap is not None else \
             self._identity_map(R)
-        colmap = self._inv_colmap if self._inv_colmap is not None else \
-            self._identity_map(C)
+        if not shadow_id:
+            colmap = self._shadow_colmap()
+        else:
+            colmap = self._inv_colmap if self._inv_colmap is not None \
+                else self._identity_map(C)
         re, im = state
         state = fn(re, im, rowmap, colmap)
         self._inv_rowmap = None
         self._inv_colmap = None
+        Lc = min(self.L, self.n)
+        self._col_shadow = list(range(Lc))
+        self._col_pos = list(range(Lc))
         return state
 
     def _perms(self, kind: str, bits: Tuple[int, ...], n_bits: int,
@@ -301,6 +478,92 @@ class IndexedEvolver:
             self._perm_cache[key] = out
         return out
 
+    def _ext_kernel(self, k_hi, k_lo, rotate):
+        key = (self.n, 'ext', k_hi, k_lo, self.L, rotate,
+               str(self.float_type))
+        fn = _KERNEL_CACHE.get(key)
+        if fn is None:
+            fn = _build_kernel_ext(self.n, k_hi, k_lo, self.L, rotate)
+            _KERNEL_CACHE[key] = fn
+        return fn
+
+    def _ext_pperm(self, phys: Tuple[int, ...]):
+        """Device-cached 128-index vector mapping a physical low-7
+        column index to kron order (gate lo bits msb-first, rest)."""
+        import jax.numpy as jnp
+
+        key = ('pp', phys)
+        out = self._perm_cache.get(key)
+        if out is None:
+            kl = len(phys)
+            rest = [p for p in range(7) if p not in phys]
+            x = np.arange(128, dtype=np.int32)
+            gate_part = np.zeros(128, dtype=np.int32)
+            for j, p in enumerate(phys):
+                gate_part |= ((x >> p) & 1) << (kl - 1 - j)
+            rest_part = np.zeros(128, dtype=np.int32)
+            for i, p in enumerate(rest):
+                rest_part |= ((x >> p) & 1) << i
+            out = jnp.asarray((gate_part << (7 - kl)) | rest_part)
+            self._perm_cache[key] = out
+        return out
+
+    def _rotate_cols(self, lo_canon):
+        """Re-home cold gate column bits into the physical low-7 (LRU
+        eviction); updates the shadow and returns the 2^L column gather
+        index vector realizing the move."""
+        import jax.numpy as jnp
+
+        Lc = min(self.L, self.n)
+        old_pos = list(self._col_pos)
+        gate_set = set(lo_canon)
+        cold = [c for c in lo_canon if self._col_pos[c] >= 7]
+        # Victims: canonical bits at physical < 7, not gate bits, LRU.
+        victims = sorted(
+            (c for c in range(Lc)
+             if self._col_pos[c] < 7 and c not in gate_set),
+            key=lambda c: self._col_use[c])
+        for c, v in zip(cold, victims):
+            pc, pv = self._col_pos[c], self._col_pos[v]
+            self._col_pos[c], self._col_pos[v] = pv, pc
+            self._col_shadow[pv], self._col_shadow[pc] = c, v
+        # data'[:, x'] = data[:, m[x']]: bit at new position pos_new(c)
+        # comes from old position pos_old(c).
+        x = np.arange(2**Lc, dtype=np.int64)
+        m = np.zeros_like(x)
+        for c in range(Lc):
+            m |= ((x >> self._col_pos[c]) & 1) << old_pos[c]
+        return jnp.asarray(m.astype(np.int32))
+
+    def _apply_ext(self, state, Ur, Ui, uperm, hi, lo):
+        """Extended low-7 application (see ``_build_kernel_ext``)."""
+        re, im = state
+        n, L = self.n, self.L
+        kh, kl = len(hi), len(lo)
+        self._tick += 1
+        lo_canon = [b for b, _ in lo]
+        for c in lo_canon:
+            self._col_use[c] = self._tick
+        rotate = any(self._col_pos[c] >= 7 for c in lo_canon)
+        kw = {}
+        if rotate:
+            kw['cperm'] = self._rotate_cols(lo_canon)
+        phys = tuple(self._col_pos[c] for c in lo_canon)
+        pperm = self._ext_pperm(phys)
+        if kh:
+            R = 2**(n - L)
+            rp, rinv = self._perms('r', tuple(b - L for b, _ in hi),
+                                   n - L)
+            kw['rp'] = rp
+            kw['inv_rowmap'] = (self._inv_rowmap
+                                if self._inv_rowmap is not None
+                                else self._identity_map(R))
+        fn = self._ext_kernel(kh, kl, rotate)
+        out = fn(re, im, Ur, Ui, uperm, pperm, **kw)
+        if kh:
+            self._inv_rowmap = rinv
+        return out
+
     def apply_gate(self, state, U: np.ndarray, qubits: Tuple[int, ...],
                    U_dev=None):
         """Apply one gate; ``qubits`` are dense indices in [0, n).
@@ -337,6 +600,18 @@ class IndexedEvolver:
             Uih = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
             return apply_gate_rows(re, im, Urh, Uih,
                                    [b - L for b, _ in hi], n, L)
+
+        # Extended low-7 path: column-bit gates avoid the column gather
+        # entirely (see _build_kernel_ext).
+        if self.ext and lo:
+            if len(lo) > 7 or len(hi) > 5:
+                # Column tracking is shadow-based in ext mode; the old
+                # column-gather kernels would desynchronize it.
+                raise NotImplementedError(
+                    f"gate class (k_hi={len(hi)}, k_lo={len(lo)}) "
+                    "unsupported in the extended engine; keep fused "
+                    "blocks within k_lo <= 7 and k_hi <= 5")
+            return self._apply_ext(state, Ur, Ui, uperm, hi, lo)
 
         fn = self._kernel(len(hi), len(lo))
         if self.defer:

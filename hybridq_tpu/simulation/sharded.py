@@ -523,6 +523,79 @@ class ShardedIndexedEvolver(ShardedEvolver):
                 pos_of[ql], pos_of[qg] = p, g + slot
         return psi, [pos_of[q] - g for q in qs]
 
+    def _restore_perm(self, psi, perm0):
+        """Swap qubits until the logical→physical layout matches
+        ``perm0`` (only global↔local moves occur in this engine, so a
+        bounded number of exchange programs realigns any drift)."""
+        g = self.g
+        for p in range(g):
+            want = perm0[p]
+            if self.perm[p] == want:
+                continue
+            cur = self.perm.index(want)
+            if cur < g:
+                # ``want`` sits at another global position: route it
+                # through a free local slot first.
+                slot = next(s for s in range(self.n_local)
+                            if self.perm[g + s] not in perm0[:g])
+                fn = self._swap_prog(cur, slot)
+                psi = fn(tuple(psi))
+                self.perm[cur], self.perm[g + slot] = \
+                    self.perm[g + slot], self.perm[cur]
+                cur = self.perm.index(want)
+            slot = cur - g
+            fn = self._swap_prog(p, slot)
+            psi = fn(tuple(psi))
+            self.perm[p], self.perm[g + slot] = \
+                self.perm[g + slot], self.perm[p]
+        # Align local slots (they can only differ by earlier global
+        # exchanges, which always target exact slots — but be safe).
+        if list(self.perm) != list(perm0):
+            raise RuntimeError("could not realign sharded layout")
+        return psi
+
+    def _dot_prog(self):
+        """⟨a|b⟩ on the sharded split pair (global psum)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = ('dot',)
+        fn = self._progs.get(key)
+        if fn is not None:
+            return fn
+
+        def local(a, b):
+            ar, ai = a[0][0], a[1][0]
+            br, bi = b[0][0], b[1][0]
+            re = jnp.sum(ar * br) + jnp.sum(ai * bi)
+            im = jnp.sum(ar * bi) - jnp.sum(ai * br)
+            return lax.psum(re, 'q'), lax.psum(im, 'q')
+
+        mapped = shard_map(local, mesh=self.mesh,
+                           in_specs=((self.spec, self.spec),
+                                     (self.spec, self.spec)),
+                           out_specs=(P(), P()))
+        fn = jax.jit(mapped)
+        self._progs[key] = fn
+        return fn
+
+    def expectation_value(self, psi, circuit, qubits=None) -> complex:
+        """⟨psi| circuit |psi⟩ on the sharded state (the sharded analog
+        of ``simulation.expectation_value``, reference
+        ``simulation.py:1125-1217``): the operator is applied to a copy
+        and the inner product reduces with one ``psum``."""
+        import jax.numpy as jnp
+
+        re, im = psi
+        perm0 = list(self.perm)
+        phi = (jnp.copy(re), jnp.copy(im))
+        phi = self.evolve(phi, circuit, qubits=qubits)
+        phi = self._restore_perm(phi, perm0)
+        vr, vi = self._dot_prog()(tuple(psi), tuple(phi))
+        return complex(float(np.asarray(vr)), float(np.asarray(vi)))
+
     def apply_gate(self, psi, U: np.ndarray, logical_qubits):
         """Apply a k-qubit unitary at arbitrary logical qubits."""
         import jax.numpy as jnp

@@ -292,8 +292,16 @@ def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
         raise NotImplementedError(
             "optimize='evolution-sharded' currently requires a token "
             "string initial state.")
-    cls = ShardedIndexedEvolver if \
-        kwargs.get('sharded_mode') == 'indexed' else ShardedEvolver
+    mode = kwargs.get('sharded_mode')
+    if mode is None:
+        # Measure/Projection/Message run natively only in the indexed
+        # (runtime-position) variant; pick it automatically so the
+        # default sharded path handles measurement-bearing circuits
+        # (reference ``simulation.py:522-649`` supports them inline).
+        has_functional = any(isinstance(g, FunctionalGate)
+                             for g in Circuit(circuit))
+        mode = 'indexed' if has_functional else 'traced'
+    cls = ShardedIndexedEvolver if mode == 'indexed' else ShardedEvolver
     ev = cls(n_qubits=len(qubits),
              devices=kwargs.get('devices'),
              complex_type=complex_type,

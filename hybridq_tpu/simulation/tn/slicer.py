@@ -126,6 +126,86 @@ def _improve(tree: ContractionTree, sliced, seconds: float,
     return tree
 
 
+def _joint_anneal_native(tree: ContractionTree, target_size: float,
+                         time_budget: float, verbose: bool,
+                         seed: int = 0):
+    """Joint (tree, slice-set) annealing: the slice set is itself a
+    Metropolis move and a sliceability pressure (sum of oversized-node
+    excess) shapes the tree, so cuts and structure co-optimize under the
+    true total sliced cost — the fix for flop-optimal trees slicing
+    catastrophically (reference: cotengra slicing-aware hyper-search,
+    ``simulation.py:1037-1048``).  Two annealing chains run on two
+    threads (the native call releases the GIL); best feasible wins.
+    Returns None when the native library is unavailable."""
+    import math as _m
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hybridq_tpu import native
+    from hybridq_tpu.simulation.tn.path import (_ssa_to_linear,
+                                                tree_to_ssa)
+
+    if not native.hgp_available() or tree.n_leaves < 4:
+        return None
+    if tree.max_size() <= target_size:
+        return tree, frozenset(), SliceCost(tree, frozenset())
+
+    ssa0 = tree_to_ssa(tree)
+    t_start = _t.time()
+    # Greedy preslice to a feasible starting slice set (no annealing —
+    # the joint chains will rebuild the set anyway).
+    try:
+        ssa_pre, sl0, _, _ = native.slice_anneal_tree(
+            tree.inputs, tree.output, tree.size_dict, ssa0,
+            target_size=target_size, sweeps_per_slice=0,
+            final_sweeps=0, seed=seed, max_slices=400)
+    except RuntimeError:
+        return None
+
+    # Calibrate the sweep rate, then split the budget over two chains.
+    cal = 2000
+    t0c = _t.time()
+    native.joint_anneal_tree(
+        tree.inputs, tree.output, tree.size_dict, ssa_pre,
+        target_size=target_size, sliced=sl0, n_sweeps=cal,
+        t0=0.7, t1=0.02, width_lambda=2.0, excess_lambda=0.1,
+        slice_moves_per_sweep=2, seed=seed)
+    rate = cal / max(_t.time() - t0c, 1e-3)
+    remaining = max(time_budget - (_t.time() - t_start), 1.0)
+    sweeps = max(2000, int(rate * remaining * 0.9))
+
+    def chain(s):
+        return native.joint_anneal_tree(
+            tree.inputs, tree.output, tree.size_dict, ssa_pre,
+            target_size=target_size, sliced=sl0, n_sweeps=sweeps,
+            t0=0.7, t1=0.02, width_lambda=2.0, excess_lambda=0.1,
+            slice_moves_per_sweep=2, seed=s)
+
+    with ThreadPoolExecutor(2) as ex:
+        results = list(ex.map(chain, [seed + 1, seed + 7919]))
+
+    best = None
+    for ssa, sl, resid, width in results:
+        new = ContractionTree(tree.inputs, tree.output, tree.size_dict,
+                              _ssa_to_linear(ssa, tree.n_leaves))
+        sl = _drop_redundant(new, set(sl), target_size)
+        c = SliceCost(new, frozenset(sl))
+        feasible = c.max_size <= target_size
+        key = (not feasible, c.total_flops)
+        if best is None or key < best[0]:
+            best = (key, new, frozenset(sl), c)
+    _, new, sl, c = best
+    if c.max_size > target_size:
+        return None  # fall back to the greedy descent
+    if verbose:
+        import sys
+        print(f"# joint slice anneal {_t.time()-t_start:.0f}s: "
+              f"{len(sl)} sliced, total "
+              f"2^{_m.log2(max(c.total_flops, 1)):.1f}",
+              file=sys.stderr, flush=True)
+    return new, sl, c
+
+
 def _slice_anneal_native(tree: ContractionTree, target_size: float,
                          time_budget: float, verbose: bool):
     """Full descent in native code: greedy slice + re-anneal between
@@ -191,6 +271,9 @@ def slice_and_reconfigure(tree: ContractionTree, target_size: float,
     """
     import time as _t
 
+    out = _joint_anneal_native(tree, target_size, time_budget, verbose)
+    if out is not None:
+        return out
     out = _slice_anneal_native(tree, target_size, time_budget, verbose)
     if out is not None:
         return out

@@ -98,3 +98,64 @@ def test_deferred_layout_matches_eager():
             se = eve.apply_gate(se, U, qs)
         np.testing.assert_allclose(evd.gather(sd), eve.gather(se),
                                    atol=1e-4)
+
+
+def _rand_u(k, rng):
+    m = rng.standard_normal((2**k, 2**k)) + \
+        1j * rng.standard_normal((2**k, 2**k))
+    q, _ = np.linalg.qr(m)
+    return q.astype('complex64')
+
+
+def _oracle_apply(psi, U, qs, n):
+    k = len(qs)
+    T = np.moveaxis(psi.reshape((2,) * n), qs, range(k))
+    T = (U.astype(complex) @ T.reshape(2**k, -1)).reshape((2,) * n)
+    return np.moveaxis(T, range(k), qs).reshape(-1)
+
+
+@pytest.mark.parametrize('max_size', [4, 7])
+def test_extended_low7_engine_matches_oracle(max_size):
+    """Extended low-7 path (L=10, shadow-tracked columns): random gates
+    up to 7 qubits at arbitrary positions, including rotation-heavy
+    column traffic."""
+    rng = np.random.default_rng(11 + max_size)
+    n = 14
+    ev = IndexedEvolver(n)
+    assert ev.ext, "extended path must be active at n=14, L=10"
+    state = ev.prepare_state('0' * n)
+    psi = np.zeros(2**n, dtype=complex)
+    psi[0] = 1.0
+    for _ in range(25):
+        k = int(rng.integers(1, max_size + 1))
+        qs = tuple(int(x) for x in rng.choice(n, k, replace=False))
+        U = _rand_u(k, rng)
+        state = ev.apply_gate(state, U, qs)
+        psi = _oracle_apply(psi, U, qs, n)
+    got = ev.gather(state).reshape(-1)
+    np.testing.assert_allclose(got, psi, atol=ATOL)
+
+
+def test_pair_matrix_gates_matches_unpaired():
+    from hybridq_tpu.simulation.kernels import pair_matrix_gates
+
+    rng = np.random.default_rng(3)
+    n = 14
+    items = []
+    for _ in range(20):
+        qs = tuple(int(x) for x in rng.choice(n, 4, replace=False))
+        items.append((_rand_u(4, rng), qs))
+    paired = pair_matrix_gates(items, n)
+    assert len(paired) < len(items)  # some blocks must fuse
+    psi = np.zeros(2**n, dtype=complex)
+    psi[0] = 1.0
+    for U, qs in items:
+        psi = _oracle_apply(psi, U, qs, n)
+    ev = IndexedEvolver(n)
+    state = ev.prepare_state('0' * n)
+    for U, qs in paired:
+        state = ev.apply_gate(state,
+                              np.ascontiguousarray(U, dtype='complex64'),
+                              qs)
+    np.testing.assert_allclose(ev.gather(state).reshape(-1), psi,
+                               atol=ATOL)

@@ -79,9 +79,11 @@ def test_tn_forced_slicing_matches():
     psi = _evolution(c)
     full = simulate(c, initial_state='0', final_state='0' * n,
                     optimize='tn', backend='numpy')
+    # The joint slice+tree search can often restructure this small
+    # network below 2^3 width with zero slices, so force harder.
     out, info = simulate(c, initial_state='0', final_state='0' * n,
                          optimize='tn', backend='numpy',
-                         max_largest_intermediate=2**3,
+                         max_largest_intermediate=2**2,
                          return_info=True)
     assert info['n_slices'] > 1
     np.testing.assert_allclose(complex(np.asarray(out)),
