@@ -43,7 +43,7 @@ def _workload(n, k, n_gates, rng, min_bit=0):
     return gates
 
 
-def bench_tpu(n, k=4, n_gates=12, seed=0, reps=3):
+def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3):
     """Indexed-engine throughput: returns (gates/s, compile_s).
 
     The engine's pairing scheduler fuses the random 4q gates into larger

@@ -855,13 +855,90 @@ def Measure(qubits=None, n_qubits=None, tags=None) -> MeasureGate:
     return MeasureGate(qubits=qubits, n_qubits=n_qubits, tags=tags)
 
 
+class ControlledFunctionalGate(FunctionalGate):
+    """Controlled FunctionalGate / StochasticGate.
+
+    The controlled action decomposes on the projector onto the all-ones
+    control subspace P: ``psi -> (psi - P psi) + G(P psi)`` for a
+    functional gate G, and ``psi -> psi + (U - I)(P psi)`` for a sampled
+    stochastic matrix U (reference ``hybridq/gate/gate.py:962-1031``).
+    """
+
+    name = 'CONTROL'
+
+    def __init__(self, c_qubits, gate, tags=None):
+        c_qubits = tuple(c_qubits)
+        if gate.qubits is None:
+            raise ValueError("'gate' must have qubits.")
+        if set(c_qubits) & set(gate.qubits):
+            raise ValueError(
+                "Control qubits must differ from gate qubits.")
+        super().__init__(f=self._apply_controlled,
+                         qubits=c_qubits + tuple(gate.qubits), tags=tags)
+        self._c_qubits = c_qubits
+        self._gate = gate
+
+    @property
+    def c_qubits(self):
+        return self._c_qubits
+
+    @property
+    def gate(self):
+        return self._gate
+
+    @staticmethod
+    def _apply_controlled(self, psi, order, **kwargs):
+        order = tuple(order)
+        split = psi.ndim > len(order)
+        if split:
+            full = psi[0] + 1j * psi[1]
+        else:
+            full = psi
+        pg = ProjectionGate('1' * len(self._c_qubits),
+                            qubits=self._c_qubits)
+        proj, _ = pg.apply(full, order, renormalize=False)
+        inner = self._gate
+        if isinstance(inner, StochasticGate):
+            g = inner.sample()
+            U = np.asarray(g.matrix(), dtype=complex) - \
+                np.eye(2**g.n_qubits)
+            axes = tuple(order.index(q) for q in g.qubits)
+            k = len(axes)
+            d = np.moveaxis(proj, axes, range(k))
+            d = (U @ d.reshape(2**k, -1)).reshape((2,) * len(order))
+            d = np.moveaxis(d, range(k), axes)
+            out = full + d
+        else:
+            rest = full - proj
+            new, new_order = inner.apply(proj, order, **kwargs)
+            if tuple(new_order) != order:
+                raise NotImplementedError("'order' has changed.")
+            out = rest + new
+        if split:
+            res = np.zeros_like(psi)
+            res[0], res[1] = out.real, out.imag
+            return res, order
+        return out, order
+
+    def _eq_state(self):
+        return BaseGate._eq_state(self) + (self._c_qubits, self._gate)
+
+
 def Control(c_qubits, gate: BaseGate = None, power=1, tags=None,
-            **kwargs) -> ControlledGate:
+            **kwargs):
     """Controlled version of ``gate``
-    (reference: ``hybridq/gate/gate.py:923-1059``)."""
+    (reference: ``hybridq/gate/gate.py:923-1059``): matrix gates get a
+    block-diagonal ``ControlledGate``; FunctionalGates and
+    StochasticGates get a projector-decomposed functional wrapper."""
     if gate is None:
         gate = Gate(**kwargs)
-    if not gate.provides('matrix'):
-        raise NotImplementedError(
-            "Only matrix gates can be controlled at the moment.")
-    return ControlledGate(c_qubits, gate, power=power, tags=tags)
+    if gate.provides('matrix'):
+        return ControlledGate(c_qubits, gate, power=power, tags=tags)
+    if isinstance(gate, (FunctionalGate, StochasticGate)):
+        if power != 1:
+            raise NotImplementedError(
+                "power != 1 is not supported for controlled "
+                "functional/stochastic gates.")
+        return ControlledFunctionalGate(c_qubits, gate, tags=tags)
+    raise NotImplementedError(
+        f"Cannot control gate '{gate.name}'.")

@@ -262,13 +262,14 @@ def _ext_class_cost(k: int, kh: int, kl: int) -> float:
     """Measured per-application cost (ms, 28q v5e) by kernel class —
     drives the pairing scheduler's merge decisions."""
     if kl == 0:
-        return 42.0 + (4.0 if k >= 7 else 0.0)
+        return {7: 46.0, 8: 52.0, 9: 67.0}.get(k, 42.0) if k >= 7 \
+            else 42.0
     return {0: 24.0, 1: 40.0, 2: 45.0, 3: 50.0, 4: 68.0,
             5: 110.0}.get(kh, 1e9)
 
 
 def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
-                      max_k: int = 8):
+                      max_k: int = 9):
     """Fuse gates into larger blocks when the fused kernel class is
     cheaper than two applications (the analog of the reference's
     ``compress`` pre-pass, ``circuit/utils.py:467``, applied at the
@@ -288,30 +289,36 @@ def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
         cur = [items[i]]
         qs_set = set(items[i][1])
         cost = _ext_class_cost(*_class_of(items[i][1], n, L))
-        blocked: set = set()
-        for j in range(i + 1, len(items)):
-            if used[j]:
-                continue
-            Uj, qsj = items[j]
-            if set(qsj) & blocked:
-                blocked |= set(qsj)
-                continue
-            union = qs_set | set(qsj)
-            k, kh, kl = _class_of(union, n, L)
-            if k > max_k or kl > 7 or (kl and kh > 4):
-                blocked |= set(qsj)
-                continue
-            new_cost = _ext_class_cost(k, kh, kl)
-            old_cost = cost + _ext_class_cost(*_class_of(qsj, n, L))
-            if new_cost >= old_cost - 4.0:
-                blocked |= set(qsj)
-                continue
-            used[j] = True
-            cur.append(items[j])
-            qs_set = union
-            cost = new_cost
-            if len(qs_set) >= max_k:
+        while len(qs_set) < max_k:
+            # One forward scan: collect every gate that can legally jump
+            # next to the block (disjoint from all unused gates in
+            # between) and pick the most profitable merge.
+            blocked: set = set()
+            best_j, best_profit, best = None, 4.0, None
+            for j in range(i + 1, len(items)):
+                if used[j]:
+                    continue
+                qsj = set(items[j][1])
+                if qsj & blocked:
+                    blocked |= qsj
+                    continue
+                union = qs_set | qsj
+                k, kh, kl = _class_of(union, n, L)
+                ok = k <= max_k and kl <= 7 and (kl == 0 or kh <= 4)
+                if ok:
+                    profit = (cost +
+                              _ext_class_cost(*_class_of(items[j][1],
+                                                         n, L)) -
+                              _ext_class_cost(k, kh, kl))
+                    if profit > best_profit:
+                        best_j, best_profit = j, profit
+                        best = (union, _ext_class_cost(k, kh, kl))
+                blocked |= qsj
+            if best_j is None:
                 break
+            used[best_j] = True
+            cur.append(items[best_j])
+            qs_set, cost = best
         if len(cur) == 1:
             out.append(cur[0])
         else:

@@ -7,9 +7,10 @@ from hybridq_tpu.simulation.tn.path import (ContractionTree, PathInfo,
 from hybridq_tpu.simulation.tn.slicer import find_slices, SliceCost
 from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
                                                 SlicedContractor)
-from hybridq_tpu.simulation.tn.simulate import simulate_tn
+from hybridq_tpu.simulation.tn.simulate import (simulate_tn,
+                                                make_plan)
 
 __all__ = ['Tensor', 'TensorNetwork', 'circuit_to_tn', 'build_tn',
            'ContractionTree', 'PathInfo', 'find_path', 'find_slices',
            'SliceCost', 'ContractionPlan', 'SlicedContractor',
-           'simulate_tn']
+           'simulate_tn', 'make_plan']

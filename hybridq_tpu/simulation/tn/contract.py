@@ -123,6 +123,10 @@ class SlicedContractor:
     def contract_np(self, verbose: bool = False,
                     slice_range=None) -> np.ndarray:
         start, stop = slice_range or (0, self.nslices)
+        if stop <= start:  # empty range: a zero partial sum
+            return np.zeros([self.plan.tree.size_dict[i]
+                             for i in self.output_order],
+                            dtype=self.complex_type)
         out = self.contract_slice_np(start).astype(self.complex_type)
         for sid in range(start + 1, stop):
             out = out + self.contract_slice_np(sid)
@@ -272,6 +276,10 @@ class SlicedContractor:
 
         start, stop = slice_range or (0, self.nslices)
         count = stop - start
+        if count <= 0:  # empty range: a zero partial sum
+            return np.zeros([self.plan.tree.size_dict[i]
+                             for i in self.output_order],
+                            dtype=self.complex_type)
         chunk = max(1, min(self._chunk(), count))
         while count % chunk:  # avoid a differently-shaped last chunk
             chunk -= 1
@@ -351,6 +359,10 @@ class SlicedContractor:
 
         start, stop = slice_range or (0, self.nslices)
         count = stop - start
+        if count <= 0:  # empty range: a zero partial sum
+            return np.zeros([self.plan.tree.size_dict[i]
+                             for i in self.output_order],
+                            dtype=self.complex_type)
         chunk = self._chunk()
         while count % chunk:
             chunk -= 1

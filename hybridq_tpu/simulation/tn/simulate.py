@@ -23,7 +23,7 @@ from hybridq_tpu.simulation.tn.path import (PathInfo, anneal, find_path,
                                             reconfigure)
 from hybridq_tpu.simulation.tn.slicer import slice_and_reconfigure
 
-__all__ = ['simulate_tn']
+__all__ = ['simulate_tn', 'make_plan']
 
 
 def simulate_tn(circuit, initial_state, final_state, optimize, backend,
@@ -126,11 +126,8 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
         except (TypeError, ValueError):
             raise ValueError(
                 "When passing a TensorNetwork, 'optimize' must be the "
-                "(PathInfo, tree) pair returned by tensor_only=True.")
-        # Slice-aware reconfiguration mutates the tree; never mutate a
-        # user-held plan (repeated calls must see identical slicing).
-        import copy as _copy
-        tree = _copy.deepcopy(tree)
+                "(PathInfo, tree) pair returned by tensor_only=True, or "
+                "a (PathInfo, ContractionPlan) pair (pre-sliced).")
         outer = net.outer_inds
         from hybridq_tpu.utils import sort
         i_inds = sort([x for x in outer if x.endswith('_i')],
@@ -138,13 +135,29 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
         f_inds = sort([x for x in outer if x.endswith('_f')],
                       key=lambda x: int(x.split('_')[-2]))
         output_order = i_inds + f_inds
+        if not isinstance(tree, ContractionPlan):
+            # Slice-aware reconfiguration mutates the tree; never mutate
+            # a user-held plan (repeated calls must see their own fresh
+            # slicing).
+            import copy as _copy
+            tree = _copy.deepcopy(tree)
 
-    # Slice to fit memory, re-optimizing the tree under the slicing
-    # (slice-and-reconfigure alternation).
-    budget = max(5.0, float(kwargs['max_time']) / 4)
-    tree, sliced, cost = slice_and_reconfigure(
-        tree, target_size=kwargs['max_largest_intermediate'],
-        time_budget=budget, verbose=verbose)
+    if isinstance(tree, ContractionPlan):
+        # Pre-sliced plan (e.g. broadcast to every process so that
+        # slice_range partial sums are consistent, the analog of the
+        # reference's rank-0 SlicedContractor bcast,
+        # ``simulation_mpi.py:451``): use it verbatim.
+        tree, sliced = tree.tree, tree.sliced_set
+        from hybridq_tpu.simulation.tn.slicer import SliceCost
+        cost = SliceCost(tree, frozenset(sliced))
+        info = PathInfo(tree)
+    else:
+        # Slice to fit memory, re-optimizing the tree under the slicing
+        # (slice-and-reconfigure alternation).
+        budget = max(5.0, float(kwargs['max_time']) / 4)
+        tree, sliced, cost = slice_and_reconfigure(
+            tree, target_size=kwargs['max_largest_intermediate'],
+            time_budget=budget, verbose=verbose)
     info_dict.update({
         'flops': info.opt_cost,
         'largest_intermediate': info.largest_intermediate,
@@ -171,3 +184,25 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
     if kwargs['return_info']:
         return out, info_dict
     return out
+
+
+def make_plan(optimize, target_size, time_budget: float = 30.0,
+              verbose: bool = False):
+    """Slice a ``tensor_only=True`` result into a concrete, reusable
+    ``(PathInfo, ContractionPlan)`` pair.
+
+    Passing the returned pair as ``optimize=`` to ``simulate`` makes
+    every call (or every process, with ``slice_range=``) use the
+    identical slicing — the analog of the reference broadcasting rank
+    0's ``SlicedContractor`` (``simulation_mpi.py:451``).
+    """
+    import copy as _copy
+
+    info, tree = optimize
+    if isinstance(tree, ContractionPlan):
+        return info, tree
+    tree = _copy.deepcopy(tree)
+    tree, sliced, _ = slice_and_reconfigure(
+        tree, target_size=target_size, time_budget=time_budget,
+        verbose=verbose)
+    return PathInfo(tree), ContractionPlan(tree, sliced)

@@ -178,3 +178,42 @@ def test_gate_tags():
     assert g2.remove_tags(['a']).tags == {'b': 2}
     # tags do not affect equality
     assert g == Gate('H', [0])
+
+
+def test_control_functional_gate():
+    """Controlled FunctionalGate: projector decomposition
+    (reference ``gate.py:962-999``)."""
+    from hybridq_tpu.circuit import Circuit
+    from hybridq_tpu.gate import Control, FunctionalGate
+    from hybridq_tpu.simulation import simulate
+
+    def fx(self, psi, order, **kw):
+        ax = order.index(self.qubits[0])
+        return np.flip(psi, axis=ax), order
+
+    cf = Control([0, 1], FunctionalGate(fx, qubits=[2]))
+    cm = Control([0, 1], Gate('X', [2]))
+    pre = Circuit(Gate('H', [q]) for q in range(3))
+    pad = Circuit([Gate('I', [3])])
+    got = np.asarray(simulate(pre + [cf] + pad, initial_state='0',
+                              simplify=False, remove_id_gates=False))
+    exp = np.asarray(simulate(pre + [cm] + pad, initial_state='0',
+                              simplify=False, remove_id_gates=False))
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_control_stochastic_gate():
+    """Controlled StochasticGate with a deterministic branch equals the
+    controlled matrix gate (reference ``gate.py:1001-1031``)."""
+    from hybridq_tpu.circuit import Circuit
+    from hybridq_tpu.gate import Control, StochasticGate
+    from hybridq_tpu.simulation import simulate
+
+    cs = Control([0], StochasticGate([Gate('X', [1])], [1.0]))
+    got = np.asarray(simulate(Circuit([Gate('H', [0]), cs]),
+                              initial_state='0', simplify=False,
+                              allow_sampling=False))
+    exp = np.asarray(simulate(Circuit([Gate('H', [0]),
+                                       Gate('CX', [0, 1])]),
+                              initial_state='0'))
+    np.testing.assert_allclose(got, exp, atol=1e-6)
