@@ -376,9 +376,13 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
             circuit = utils.popright(Circuit(circuit),
                                      pinned_qubits=support)
 
-    # Compress and precompute Pauli-transfer rows.
+    # Compress and precompute Pauli-transfer rows.  Heisenberg evolution
+    # C† P C applies the LAST gate's transfer first (the reference
+    # iterates ``reversed(circuit)``, ``clifford.py:1104``); each block's
+    # transfer U†PU is exact as a unit, so only the block order reverses.
     blocks = utils.compress(circuit, compress) if compress else \
         [Circuit([g]) for g in circuit]
+    blocks = list(reversed(blocks))
     gates = []
     for b in blocks:
         g = utils.to_matrix_gate(b, complex_type='complex128') \

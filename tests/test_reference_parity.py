@@ -141,3 +141,107 @@ def test_dm_channels_parity_1e6():
                             optimize='evolution-einsum', backend='numpy',
                             complex_type='complex128'))
     np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def _paired_random_circuit_labels(labels, m, rng, names=NAMES):
+    """Random circuit over heterogeneous qubit labels in both
+    frameworks (label sorting is load-bearing: qubit order = axis
+    order, reference ``utils.py:283-304``)."""
+    from hybridq.circuit import Circuit as RefCircuit
+    from hybridq.gate import Gate as RefGate
+
+    mine, ref = Circuit(), RefCircuit()
+    for _ in range(m):
+        name = str(rng.choice(names))
+        g = Gate(name)
+        idx = rng.choice(len(labels), g.n_qubits, replace=False)
+        qs = [labels[int(i)] for i in idx]
+        params = (list(rng.random(PARAMETRIC[name]))
+                  if name in PARAMETRIC else None)
+        power = float(rng.choice([1, 1, 1, 0.5, 2, -1]))
+        mine.append(Gate(name, qubits=qs, params=params, power=power))
+        ref.append(RefGate(name, qubits=qs, params=params)**power)
+    return mine, ref
+
+
+@pytest.mark.parametrize('trial', range(3))
+def test_statevector_parity_n10_heterogeneous(trial):
+    """n=10 with mixed int/str/tuple labels, 60 gates, 1e-6 parity."""
+    from hybridq.circuit.simulation import simulate as ref_simulate
+
+    rng = np.random.default_rng(300 + trial)
+    labels = [0, 1, 'a', 'b', (0, 1), (2, 3), 7, 'z', (9, 9), 42]
+    mine, ref = _paired_random_circuit_labels(labels, 60, rng)
+    # Pad full coverage so both sides see all 10 qubits.
+    for q in labels:
+        mine.append(Gate('H', [q]))
+        from hybridq.gate import Gate as RefGate
+        ref.append(RefGate('H', [q]))
+    psi = np.asarray(simulate(mine, initial_state='0',
+                              complex_type='complex128'))
+    ref_psi = np.asarray(
+        ref_simulate(ref, initial_state='0',
+                     optimize='evolution-einsum', backend='numpy',
+                     complex_type='complex128'))
+    np.testing.assert_allclose(psi, ref_psi, atol=1e-6)
+
+
+@pytest.mark.parametrize('trial', range(3))
+def test_tn_engine_parity_vs_reference(trial):
+    """Our sliced TN contraction vs the reference's einsum evolution:
+    closed amplitudes to 1e-6 (the reference TN engine itself needs
+    quimb/cotengra, absent here; its einsum engine is the oracle,
+    ``simulation.py:680-768``)."""
+    from hybridq.circuit.simulation import simulate as ref_simulate
+
+    rng = np.random.default_rng(400 + trial)
+    n = 8
+    mine, ref = _paired_random_circuit(n, 40, rng)
+    for q in range(n):
+        mine.append(Gate('H', [q]))
+        from hybridq.gate import Gate as RefGate
+        ref.append(RefGate('H', [q]))
+    ref_psi = np.asarray(
+        ref_simulate(ref, initial_state='0',
+                     optimize='evolution-einsum', backend='numpy',
+                     complex_type='complex128')).reshape(-1)
+    # A few closed amplitudes through the sliced TN engine.
+    for bits in (0, 1, 2**n - 1):
+        final = format(bits, f'0{n}b')
+        amp = np.asarray(simulate(
+            mine, initial_state='0', final_state=final, optimize='tn',
+            backend='numpy', complex_type='complex128',
+            max_largest_intermediate=2**6, max_time=10)).reshape(-1)[0]
+        np.testing.assert_allclose(amp, ref_psi[bits], atol=1e-6)
+
+
+def test_clifford_parity_parallel_and_device():
+    """Clifford engine parity at n=8 incl. the process-parallel and
+    device backends (reference ``clifford.py:549-729``)."""
+    from hybridq.circuit import Circuit as RefCircuit
+    from hybridq.gate import Gate as RefGate
+    from hybridq.circuit.simulation.clifford import (
+        update_pauli_string as ref_update)
+
+    rng = np.random.default_rng(500)
+    n = 8
+    names = ['H', 'X', 'Z', 'CX', 'CZ', 'T', 'ISWAP', 'SWAP']
+    mine, ref = Circuit(), RefCircuit()
+    for _ in range(30):
+        name = str(rng.choice(names))
+        g = Gate(name)
+        qs = [int(q) for q in rng.choice(n, g.n_qubits, replace=False)]
+        mine.append(Gate(name, qubits=qs))
+        ref.append(RefGate(name, qubits=qs))
+    p_mine = Circuit([Gate('X', [q]) for q in range(n)])
+    p_ref = RefCircuit([RefGate('X', [q]) for q in range(n)])
+
+    ref_db = dict(ref_update(ref, p_ref, float_type='float64',
+                             parallel=False))
+    for kw in ({}, {'parallel': 2}, {'backend': 'jax'}):
+        db = update_pauli_string(mine, p_mine, float_type='float64',
+                                 **kw)
+        assert set(db) == set(ref_db), kw
+        for k in db:
+            np.testing.assert_allclose(db[k], ref_db[k], atol=1e-6,
+                                       err_msg=str(kw))
