@@ -110,7 +110,11 @@ def main(argv=None):
                                          n_qubits)
     params['final_state'] = _get_state(params.get('final_state'), n_qubits)
     params.pop('append', None)
-    params.pop('parallel', None)
+    # --parallel threads the TN path search (the reference's per-rank
+    # optimizer Pool); True = all cores.  Unused by the evolution
+    # engines (a single XLA program already spans the chip).
+    if not params.get('parallel'):
+        params.pop('parallel', None)
     params.pop('use_mpi', None)
 
     verbose = params.get('verbose', False)
@@ -183,6 +187,7 @@ def main_dm(argv=None):
     out = clifford.update_pauli_string(
         circuit, pauli, atol=args.atol, compress=args.compress,
         max_breadth_first_branches=args.max_breadth_first_branches,
+        parallel=args.parallel,
         return_info=args.return_info, verbose=args.verbose)
     dt = time.time() - t0
     if args.return_info:

@@ -680,8 +680,14 @@ def anneal(tree: ContractionTree, sliced=frozenset(),
 
 def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),
               max_repeats: int = 16, minimize: str = 'combo', seed=None,
-              verbose: bool = False) -> ContractionTree:
-    """Best-of-N contraction tree for the given network."""
+              parallel=None, verbose: bool = False) -> ContractionTree:
+    """Best-of-N contraction tree for the given network.
+
+    ``parallel``: number of worker threads for the bisection restarts
+    (True = all cores).  The native partitioner releases the GIL, so
+    restarts scale across host cores — the analog of the reference's
+    per-rank optimizer Pool (``simulation_mpi.py:267-304``).
+    """
     rng = np.random.default_rng(seed)
     if len(inputs) <= 2:
         return ContractionTree(inputs, output, size_dict,
@@ -698,12 +704,33 @@ def find_path(inputs, output, size_dict, methods=('greedy', 'bisection'),
         # budget; the pure-Python spectral fallback gets fewer trials.
         reps = max_repeats if native.hgp_available() else \
             max(1, max_repeats // 4)
-        for _ in range(reps):
-            try:
-                candidates.append(
-                    _bisection_path(inputs, output, size_dict, rng))
-            except Exception:
-                pass
+        if parallel is True:
+            import os as _os
+            parallel = _os.cpu_count() or 1
+        n_workers = max(int(parallel or 1), 1)
+        if n_workers > 1 and native.hgp_available():
+            from concurrent.futures import ThreadPoolExecutor
+
+            rngs = [np.random.default_rng(rng.integers(2**31))
+                    for _ in range(reps)]
+
+            def one(r):
+                try:
+                    return _bisection_path(inputs, output, size_dict, r)
+                except Exception:
+                    return None
+
+            with ThreadPoolExecutor(n_workers) as ex:
+                for p in ex.map(one, rngs):
+                    if p is not None:
+                        candidates.append(p)
+        else:
+            for _ in range(reps):
+                try:
+                    candidates.append(
+                        _bisection_path(inputs, output, size_dict, rng))
+                except Exception:
+                    pass
     if not candidates:
         # trivial left-to-right path
         candidates.append([(0, 1)] * (len(inputs) - 1))

@@ -101,7 +101,8 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
         tree = find_path(inputs, output_order, size_dict,
                          methods=kwargs['methods'],
                          max_repeats=kwargs['max_repeats'],
-                         minimize=kwargs['minimize'], verbose=verbose)
+                         minimize=kwargs['minimize'],
+                         parallel=kwargs['parallel'], verbose=verbose)
         # Restructure: simulated annealing (native) drives most of the
         # quality; exact subtree reconfiguration polishes locally.
         budget = max(5.0, float(kwargs['max_time']) / 2)
