@@ -27,6 +27,8 @@ from hybridq_tpu.simulation.tn.path import ContractionTree
 
 __all__ = ['ContractionPlan', 'SlicedContractor']
 
+_FLAT_PROG_CACHE: dict = {}
+
 
 class ContractionPlan:
     """Static schedule of pairwise tensordots for (tree, sliced)."""
@@ -131,6 +133,229 @@ class SlicedContractor:
         for sid in range(start + 1, stop):
             out = out + self.contract_slice_np(sid)
         return out
+
+    # -- JAX backend, flat executor ---------------------------------------
+    #
+    # TPU device arrays of shape (2,)*k are tile-padded catastrophically
+    # (the minor (2, 2) dims pad to (8, 128): a 512x blowup; a rank-26
+    # intermediate would "be" 32 GB), and programs holding them exceed
+    # the compile service's memory.  The flat executor therefore keeps
+    # every intermediate as a FLAT (2^k,) split pair plus a host-side
+    # index-order tuple, and runs each pairwise contraction as
+    #   gather (device-built bit-permutation) -> [M, 2^s] @ [2^s, N]
+    # with ONE compiled program per (k_left, k_right, s, gathers) class;
+    # the bit-shift tables are runtime arguments, so any tree reuses a
+    # bounded program set (the runtime-position philosophy of
+    # ``kernels.py``, vs the reference's per-contraction einsum strings,
+    # ``simulation.py:726-751``).
+
+    def _flat_schedule(self):
+        """Host-side schedule for the flat executor: per step, the
+        operand orientation, gather shift tables, and class key."""
+        plan = self.plan
+        order: Dict[int, Tuple[str, ...]] = {}
+        for v in range(plan.tree.n_leaves):
+            order[v] = plan.eff[v]
+        sched = []
+        for v, a, b, _, _ in plan.steps:
+            ea, eb = order.pop(a), order.pop(b)
+            shared = [i for i in ea if i in eb]
+            s = len(shared)
+            ka, kb = len(ea), len(eb)
+            # Left operand = the one with the larger free side (avoid
+            # [tiny, K] @ [K, huge] shapes, which compile poorly).
+            if 2**(ka - s) >= 2**(kb - s):
+                left, right = a, b
+                el, er = ea, eb
+            else:
+                left, right = b, a
+                el, er = eb, ea
+            kl, kr = len(el), len(er)
+            free_l = [i for i in el if i not in shared]
+            free_r = [i for i in er if i not in shared]
+            tl = tuple(free_l) + tuple(shared)       # [free..., shared]
+            tr = tuple(shared) + tuple(free_r)       # [shared..., free]
+
+            def shifts(ex, tx):
+                k = len(ex)
+                pos = {i: p for p, i in enumerate(ex)}
+                return np.asarray([k - 1 - pos[i] for i in tx],
+                                  dtype=np.int32)
+
+            gl = tl != tuple(el)
+            gr = tr != tuple(er)
+            sched.append({
+                'v': v, 'left': left, 'right': right,
+                'key': (kl, kr, s, gl, gr),
+                'shl': shifts(el, tl) if gl else None,
+                'shr': shifts(er, tr) if gr else None,
+            })
+            order[v] = tuple(free_l) + tuple(free_r)
+        root_order = order[plan.root]
+        out_shift = None
+        if tuple(root_order) != tuple(self.output_order):
+            k = len(root_order)
+            pos = {i: p for p, i in enumerate(root_order)}
+            out_shift = np.asarray(
+                [k - 1 - pos[i] for i in self.output_order],
+                dtype=np.int32)
+        return sched, out_shift
+
+    @staticmethod
+    def _flat_step_prog(kl, kr, s, gl, gr):
+        """Compiled flat contraction step for a shape class."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ('flatstep', kl, kr, s, gl, gr)
+        fn = _FLAT_PROG_CACHE.get(key)
+        if fn is not None:
+            return fn
+        M, K, N = 2**(kl - s), 2**s, 2**(kr - s)
+
+        def gather(x_re, x_im, k, sh):
+            i = jnp.arange(2**k, dtype=jnp.int32)
+            idx = jnp.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+
+        def f(lr, li, rr, ri, shl, shr):
+            if gl:
+                lr, li = gather(lr, li, kl, shl)
+            if gr:
+                rr, ri = gather(rr, ri, kr, shr)
+            Ar = lr.reshape(M, K)
+            Ai = li.reshape(M, K)
+            Br = rr.reshape(K, N)
+            Bi = ri.reshape(K, N)
+            cr = Ar @ Br - Ai @ Bi
+            ci = Ar @ Bi + Ai @ Br
+            return cr.reshape(-1), ci.reshape(-1)
+
+        fn = jax.jit(f)
+        _FLAT_PROG_CACHE[key] = fn
+        return fn
+
+    def _warm_flat_progs(self, sched, verbose: bool = False):
+        """AOT-compile every distinct flat step class concurrently (the
+        shared remote compile service has minutes-level queueing per
+        program; overlapping the waits turns n_classes x queue into
+        ~queue)."""
+        import sys
+        import time as _t
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+        import jax.numpy as jnp
+
+        keys = sorted({st['key'] for st in sched})
+        todo = [k for k in keys
+                if ('flatexec',) + k not in _FLAT_PROG_CACHE]
+        if len(todo) <= 1:
+            return
+        t0 = _t.time()
+
+        def one(key):
+            kl, kr, s, gl, gr = key
+            fn = self._flat_step_prog(*key)
+            f32 = jnp.float32
+            i32 = jnp.int32
+            args = (jax.ShapeDtypeStruct((2**kl,), f32),
+                    jax.ShapeDtypeStruct((2**kl,), f32),
+                    jax.ShapeDtypeStruct((2**kr,), f32),
+                    jax.ShapeDtypeStruct((2**kr,), f32),
+                    jax.ShapeDtypeStruct((kl if gl else 1,), i32),
+                    jax.ShapeDtypeStruct((kr if gr else 1,), i32))
+            try:
+                _FLAT_PROG_CACHE[('flatexec',) + key] = \
+                    fn.lower(*args).compile()
+            except Exception:
+                pass  # advisory: the call path compiles on demand
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(one, todo))
+        if verbose:
+            print(f"# warmed {len(todo)} flat step programs in "
+                  f"{_t.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
+    def _flat_leaves(self, sid):
+        """Per-slice flat split leaves (device; tiny arrays)."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, '_leaf_dev'):
+            self._leaf_dev = [
+                (jnp.asarray(d.real.astype(self.float_type)),
+                 jnp.asarray(d.imag.astype(self.float_type)))
+                for d in self.datas]
+        vals = {}
+        for v in range(self.plan.tree.n_leaves):
+            re, im = self._leaf_dev[v]
+            for pos, j in sorted(self.plan.leaf_slices[v], reverse=True):
+                bit = (sid >> j) & 1
+                re = jnp.take(re, bit, axis=pos)
+                im = jnp.take(im, bit, axis=pos)
+            vals[v] = (re.reshape(-1), im.reshape(-1))
+        return vals
+
+    def contract_jax_flat(self, slice_range=None, verbose: bool = False):
+        """Flat-executor slice sum (see the class comment above)."""
+        import sys
+        import time as _t
+
+        import jax.numpy as jnp
+
+        start, stop = slice_range or (0, self.nslices)
+        if stop <= start:
+            return np.zeros([self.plan.tree.size_dict[i]
+                             for i in self.output_order],
+                            dtype=self.complex_type)
+        sched, out_shift = self._flat_schedule()
+        shl_dev = {}
+        for st in sched:
+            for key in ('shl', 'shr'):
+                if st[key] is not None:
+                    t = tuple(st[key])
+                    if t not in shl_dev:
+                        shl_dev[t] = jnp.asarray(st[key])
+        dummy = jnp.zeros((1,), jnp.int32)
+        self._warm_flat_progs(sched, verbose=verbose)
+        acc = None
+        first = True
+        for sid in range(start, stop):
+            t0 = _t.time()
+            vals = self._flat_leaves(sid)
+            for st in sched:
+                lr, li = vals.pop(st['left'])
+                rr, ri = vals.pop(st['right'])
+                fn = _FLAT_PROG_CACHE.get(('flatexec',) + st['key']) or \
+                    self._flat_step_prog(*st['key'])
+                shl = shl_dev[tuple(st['shl'])] if st['shl'] is not None \
+                    else dummy
+                shr = shl_dev[tuple(st['shr'])] if st['shr'] is not None \
+                    else dummy
+                vals[st['v']] = fn(lr, li, rr, ri, shl, shr)
+            re, im = vals[self.plan.root]
+            if out_shift is not None:
+                k = len(self.output_order)
+                i = jnp.arange(2**k, dtype=jnp.int32)
+                idx = jnp.zeros_like(i)
+                for j in range(k):
+                    idx = idx | (((i >> (k - 1 - j)) & 1) <<
+                                 int(out_shift[j]))
+                re, im = jnp.take(re, idx), jnp.take(im, idx)
+            acc = (re, im) if acc is None else (acc[0] + re, acc[1] + im)
+            if verbose and first:
+                _ = float(np.asarray(acc[0].reshape(-1)[:1])[0])
+                print(f"# flat executor: first slice {_t.time()-t0:.1f}s "
+                      f"({len(sched)} steps, "
+                      f"{len(_FLAT_PROG_CACHE)} programs)",
+                      file=sys.stderr, flush=True)
+                first = False
+        out = np.asarray(acc[0]).astype(self.complex_type)
+        out += 1j * np.asarray(acc[1]).astype(self.float_type)
+        return out.reshape([self.plan.tree.size_dict[i]
+                            for i in self.output_order])
 
     # -- JAX backend (split-complex, slice-batched) ----------------------
     def _build_jax_fn(self):
@@ -342,11 +567,13 @@ class SlicedContractor:
         from jax import lax
 
         n_dev = 1 if devices is None else len(devices)
-        if n_dev <= 1 and len(self.plan.steps) > 40:
-            # Big tree: one traced program per tree does not compile in
-            # bounded time on the shared XLA service — use segments.
-            return self.contract_jax_segmented(slice_range=slice_range,
-                                               verbose=verbose)
+        max_rank = max(len(inds) for inds in self.plan.eff.values())
+        if n_dev <= 1 and (len(self.plan.steps) > 40 or max_rank > 12):
+            # Big tree or high-rank intermediates: traced (2,)*k
+            # programs tile-pad catastrophically on TPU and overwhelm
+            # the shared compile service — use the flat executor.
+            return self.contract_jax_flat(slice_range=slice_range,
+                                          verbose=verbose)
 
         one_slice = self._build_jax_fn()
         leaves = [(jnp.asarray(d.real.astype(self.float_type)),

@@ -22,3 +22,17 @@ def test_multiprocess_example():
     assert result['prob_check'] == 'ok'
     assert result['sliced_amplitude_check'] == 'ok'
     assert result['n_processes'] == 2
+
+
+def test_local_slice_range_tiles():
+    from hybridq_tpu.parallel import local_slice_range
+
+    for n_slices in (1, 2, 7, 64, 65):
+        for n_procs in (1, 2, 3, 8):
+            ranges = [local_slice_range(n_slices, pid=p, n_procs=n_procs)
+                      for p in range(n_procs)]
+            assert ranges[0][0] == 0 and ranges[-1][1] == n_slices
+            for (a, b), (c, d) in zip(ranges, ranges[1:]):
+                assert b == c
+            sizes = [b - a for a, b in ranges]
+            assert max(sizes) - min(sizes) <= 1  # balanced
