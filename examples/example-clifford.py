@@ -1,6 +1,15 @@
 """Clifford / Pauli-string expansion (analog of the reference
 ``examples/example-mpi-clifford.py``: 20 qubits × 40 gates)."""
 
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec('hybridq_tpu') is None:
+    # Fresh checkout without the editable install: run in-place.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -19,6 +19,15 @@ join a ``jax.distributed`` coordinator (4 virtual CPU devices each → an
     contraction to 1e-5.
 """
 
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec('hybridq_tpu') is None:
+    # Fresh checkout without the editable install: run in-place.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 import json
 import os
 import pickle

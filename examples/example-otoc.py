@@ -2,6 +2,15 @@
 sub-grid of the Sycamore layout, simulated with the evolution engine and
 cross-checked via the Clifford expansion of the ancilla observable."""
 
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec('hybridq_tpu') is None:
+    # Fresh checkout without the editable install: run in-place.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

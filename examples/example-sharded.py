@@ -6,6 +6,15 @@ Run on CPU with a virtual 8-device mesh:
     JAX_PLATFORMS='' python examples/example-sharded.py --cpu
 """
 
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec('hybridq_tpu') is None:
+    # Fresh checkout without the editable install: run in-place.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

@@ -1,6 +1,15 @@
 """Single-chip state-vector evolution (analog of the reference
 ``examples/example.py``: 23 qubits × 2000 gates)."""
 
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec('hybridq_tpu') is None:
+    # Fresh checkout without the editable install: run in-place.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 import os
 import sys
 import time
