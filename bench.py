@@ -43,13 +43,17 @@ def _workload(n, k, n_gates, rng, min_bit=0):
     return gates
 
 
-def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3):
+def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3, precision='highest'):
     """Indexed-engine throughput: returns (gates/s, compile_s).
 
     The engine's pairing scheduler fuses the random 4q gates into larger
     blocks when the fused kernel class is cheaper (the analog of the
     reference's ``compress`` pre-pass); throughput counts the *original*
-    gates, as the reference's would."""
+    gates, as the reference's would.
+
+    ``precision='highest'`` (the engine default) runs true-f32 matmuls,
+    matching the reference C++ core's float32 arithmetic; TPU matmuls
+    otherwise round operands to bfloat16 (~1e-2 relative error)."""
     from hybridq_tpu.simulation.kernels import (IndexedEvolver,
                                                 pair_matrix_gates)
 
@@ -60,7 +64,7 @@ def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3):
               for U, qs in blocks]
     sys.stderr.write(f"# paired {n_gates} gates -> {len(blocks)} blocks "
                      f"(sizes {sorted(len(q) for _, q in blocks)})\n")
-    ev = IndexedEvolver(n)
+    ev = IndexedEvolver(n, precision=precision)
     # Matrices resident on device (one stacked upload — the reference's
     # matrices live in RAM next to its C++ core just the same).
     devs = ev.preload([U for U, _ in blocks])
@@ -177,11 +181,21 @@ def main():
     value = None
     try:
         value, compile_s = bench_tpu(n)
-        sys.stderr.write(f"# {n}q TPU: {value:.2f} gates/s "
-                         f"(compile {compile_s:.0f}s)\n")
+        sys.stderr.write(f"# {n}q TPU (precision=highest, true f32): "
+                         f"{value:.2f} gates/s (compile {compile_s:.0f}s)"
+                         "\n")
     except Exception as e:
         sys.stderr.write(f"# {n}q failed: {type(e).__name__}: "
                          f"{str(e)[:120]}\n")
+    # Secondary (stderr only): the bf16-matmul variant some users may
+    # opt into with precision='default'.  NOT the headline number — its
+    # ~1e-2 error does not match the reference's f32 arithmetic.
+    try:
+        fast, _ = bench_tpu(n, precision='default')
+        sys.stderr.write(f"# {n}q TPU (precision=default, bf16 matmuls,"
+                         f" ~1e-2 err): {fast:.2f} gates/s\n")
+    except Exception as e:
+        sys.stderr.write(f"# bf16 variant failed: {type(e).__name__}\n")
     if value is None:
         print(json.dumps({"metric": "gate_applications_per_s_per_chip",
                           "value": 0.0, "unit": "fused-4q-gates/s",

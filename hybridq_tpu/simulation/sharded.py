@@ -367,10 +367,13 @@ class ShardedIndexedEvolver(ShardedEvolver):
                 im = jnp.take(im, cperm, axis=1)
             re = re.reshape(Rg, 2**k, Cg)
             im = im.reshape(Rg, 2**k, Cg)
-            o_re = jnp.einsum('rBc,bB->rbc', re, Ur) - \
-                jnp.einsum('rBc,bB->rbc', im, Ui)
-            o_im = jnp.einsum('rBc,bB->rbc', im, Ur) + \
-                jnp.einsum('rBc,bB->rbc', re, Ui)
+            # HIGHEST: TPU matmuls default to bf16 inputs (~1e-2), far
+            # off the complex64 reference parity.
+            hi = jax.lax.Precision.HIGHEST
+            o_re = jnp.einsum('rBc,bB->rbc', re, Ur, precision=hi) - \
+                jnp.einsum('rBc,bB->rbc', im, Ui, precision=hi)
+            o_im = jnp.einsum('rBc,bB->rbc', im, Ur, precision=hi) + \
+                jnp.einsum('rBc,bB->rbc', re, Ui, precision=hi)
             o_re = o_re.reshape(R, C)
             o_im = o_im.reshape(R, C)
             if k_lo:

@@ -324,13 +324,15 @@ def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
     n_qubits = len(qubits)
     ev = IndexedEvolver(n_qubits,
                         float_type=np.real(
-                            np.zeros(1, dtype=complex_type)).dtype)
+                            np.zeros(1, dtype=complex_type)).dtype,
+                        precision=kwargs.get('matmul_precision',
+                                             'highest'))
     if isinstance(initial_state, str):
         state = ev.prepare_state(initial_state)
     else:
         re_h, im_h = split_complex(initial_state, ev.float_type)
-        state = (jnp.asarray(re_h.reshape(-1)),
-                 jnp.asarray(im_h.reshape(-1)))
+        state = jnp.asarray(np.stack([np.asarray(re_h).reshape(-1),
+                                      np.asarray(im_h).reshape(-1)]))
 
     for kind, payload in _segment_blocks(blocks):
         if kind == 'mat':
@@ -347,10 +349,11 @@ def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
             if tuple(new_order) != tuple(qubits):
                 raise RuntimeError("'order' has changed.")
             re_h, im_h = split_complex(new_psi, ev.float_type)
-            state = (jnp.asarray(re_h.reshape(-1)),
-                     jnp.asarray(im_h.reshape(-1)))
+            state = jnp.asarray(np.stack(
+                [np.asarray(re_h).reshape(-1),
+                 np.asarray(im_h).reshape(-1)]))
     if kwargs['block_until_ready']:
-        state[1].block_until_ready()
+        state.block_until_ready()
     return ev.gather(state, complex_type)
 
 
@@ -401,10 +404,18 @@ def _evolve_einsum(blocks, qubits, qubit_index, initial_state, complex_type,
                     path_out += symbol_of[q]
                 path = path_out + path_in + ',' + path
             path += '->' + ''.join(symbol_of[q] for q in qubits)
-            psi = contract(path, *reversed(gmats), psi, backend=backend,
-                           optimize=opt)
-            if backend == 'jax' and kwargs['block_until_ready']:
-                psi.block_until_ready()
+            if backend == 'jax':
+                import jax
+
+                # TPU matmuls default to bf16 inputs; force true f32.
+                with jax.default_matmul_precision('highest'):
+                    psi = contract(path, *reversed(gmats), psi,
+                                   backend=backend, optimize=opt)
+                if kwargs['block_until_ready']:
+                    psi.block_until_ready()
+            else:
+                psi = contract(path, *reversed(gmats), psi,
+                               backend=backend, optimize=opt)
     return psi
 
 

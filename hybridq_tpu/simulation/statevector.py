@@ -62,15 +62,18 @@ def apply_gate_split(re, im, Ur, Ui, in_axes: Tuple[int, ...], k: int):
 
     Four real tensordots (XLA CSEs the shared operand transpose, and the
     matmuls run on the MXU)."""
+    import jax
     import jax.numpy as jnp
 
+    # HIGHEST: TPU matmuls default to bf16 inputs (~1e-2 accuracy).
+    hi = jax.lax.Precision.HIGHEST
     Ur = jnp.reshape(Ur, (2,) * (2 * k))
     Ui = jnp.reshape(Ui, (2,) * (2 * k))
     caxes = (tuple(range(k, 2 * k)), tuple(in_axes))
-    rr = jnp.tensordot(Ur, re, axes=caxes)
-    ri = jnp.tensordot(Ur, im, axes=caxes)
-    ir = jnp.tensordot(Ui, re, axes=caxes)
-    ii = jnp.tensordot(Ui, im, axes=caxes)
+    rr = jnp.tensordot(Ur, re, axes=caxes, precision=hi)
+    ri = jnp.tensordot(Ur, im, axes=caxes, precision=hi)
+    ir = jnp.tensordot(Ui, re, axes=caxes, precision=hi)
+    ii = jnp.tensordot(Ui, im, axes=caxes, precision=hi)
     return rr - ii, ri + ir
 
 

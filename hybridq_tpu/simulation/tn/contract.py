@@ -80,13 +80,30 @@ class ContractionPlan:
         return tuple(root_inds.index(i) for i in output_order)
 
 
+def _resolve_precision(name: str):
+    """Map a precision name to a jax.lax.Precision (lazy jax import)."""
+    import jax
+
+    return {
+        'default': jax.lax.Precision.DEFAULT,
+        'high': jax.lax.Precision.HIGH,
+        'highest': jax.lax.Precision.HIGHEST,
+    }[str(name).lower()]
+
+
 class SlicedContractor:
     """Executes a ContractionPlan over all slices, on numpy or JAX."""
 
     def __init__(self, plan: ContractionPlan, tensors: Sequence[Tensor],
-                 output_order: Sequence[str], complex_type='complex64'):
+                 output_order: Sequence[str], complex_type='complex64',
+                 matmul_precision: str = 'highest'):
         if len(tensors) != plan.tree.n_leaves:
             raise ValueError("wrong number of tensors")
+        # TPU matmuls default to bfloat16 inputs; a contraction tree in
+        # bf16 is ~1e-2 accurate, far off the complex64 reference.
+        # 'highest' forces true-f32 MXU passes (matching the reference's
+        # numpy/quimb complex64 arithmetic); 'default' opts into bf16.
+        self.matmul_precision = str(matmul_precision)
         self.plan = plan
         self.output_order = tuple(output_order)
         self.perm = plan.output_perm(output_order)
@@ -202,16 +219,17 @@ class SlicedContractor:
         return sched, out_shift
 
     @staticmethod
-    def _flat_step_prog(kl, kr, s, gl, gr):
+    def _flat_step_prog(kl, kr, s, gl, gr, prec='highest'):
         """Compiled flat contraction step for a shape class."""
         import jax
         import jax.numpy as jnp
 
-        key = ('flatstep', kl, kr, s, gl, gr)
+        key = ('flatstep', kl, kr, s, gl, gr, prec)
         fn = _FLAT_PROG_CACHE.get(key)
         if fn is not None:
             return fn
         M, K, N = 2**(kl - s), 2**s, 2**(kr - s)
+        precision = _resolve_precision(prec)
 
         def gather(x_re, x_im, k, sh):
             i = jnp.arange(2**k, dtype=jnp.int32)
@@ -229,8 +247,10 @@ class SlicedContractor:
             Ai = li.reshape(M, K)
             Br = rr.reshape(K, N)
             Bi = ri.reshape(K, N)
-            cr = Ar @ Br - Ai @ Bi
-            ci = Ar @ Bi + Ai @ Br
+            cr = jnp.matmul(Ar, Br, precision=precision) - \
+                jnp.matmul(Ai, Bi, precision=precision)
+            ci = jnp.matmul(Ar, Bi, precision=precision) + \
+                jnp.matmul(Ai, Br, precision=precision)
             return cr.reshape(-1), ci.reshape(-1)
 
         fn = jax.jit(f)
@@ -249,16 +269,17 @@ class SlicedContractor:
         import jax
         import jax.numpy as jnp
 
+        prec = self.matmul_precision
         keys = sorted({st['key'] for st in sched})
         todo = [k for k in keys
-                if ('flatexec',) + k not in _FLAT_PROG_CACHE]
+                if ('flatexec',) + k + (prec,) not in _FLAT_PROG_CACHE]
         if len(todo) <= 1:
             return
         t0 = _t.time()
 
         def one(key):
             kl, kr, s, gl, gr = key
-            fn = self._flat_step_prog(*key)
+            fn = self._flat_step_prog(*key, prec=prec)
             f32 = jnp.float32
             i32 = jnp.int32
             args = (jax.ShapeDtypeStruct((2**kl,), f32),
@@ -268,7 +289,7 @@ class SlicedContractor:
                     jax.ShapeDtypeStruct((kl if gl else 1,), i32),
                     jax.ShapeDtypeStruct((kr if gr else 1,), i32))
             try:
-                _FLAT_PROG_CACHE[('flatexec',) + key] = \
+                _FLAT_PROG_CACHE[('flatexec',) + key + (prec,)] = \
                     fn.lower(*args).compile()
             except Exception:
                 pass  # advisory: the call path compiles on demand
@@ -328,8 +349,11 @@ class SlicedContractor:
             for st in sched:
                 lr, li = vals.pop(st['left'])
                 rr, ri = vals.pop(st['right'])
-                fn = _FLAT_PROG_CACHE.get(('flatexec',) + st['key']) or \
-                    self._flat_step_prog(*st['key'])
+                fn = _FLAT_PROG_CACHE.get(
+                    ('flatexec',) + st['key'] +
+                    (self.matmul_precision,)) or \
+                    self._flat_step_prog(*st['key'],
+                                         prec=self.matmul_precision)
                 shl = shl_dev[tuple(st['shl'])] if st['shl'] is not None \
                     else dummy
                 shr = shl_dev[tuple(st['shr'])] if st['shr'] is not None \
@@ -364,6 +388,7 @@ class SlicedContractor:
 
         plan = self.plan
         n_leaves = plan.tree.n_leaves
+        precision = _resolve_precision(self.matmul_precision)
 
         def one_slice(sid, leaves):
             # leaves: list of (re, im)
@@ -379,10 +404,10 @@ class SlicedContractor:
                 ar, ai = vals.pop(a)
                 br, bi = vals.pop(b)
                 axes = (a_axes, b_axes)
-                rr = jnp.tensordot(ar, br, axes=axes)
-                ii = jnp.tensordot(ai, bi, axes=axes)
-                ri = jnp.tensordot(ar, bi, axes=axes)
-                ir = jnp.tensordot(ai, br, axes=axes)
+                rr = jnp.tensordot(ar, br, axes=axes, precision=precision)
+                ii = jnp.tensordot(ai, bi, axes=axes, precision=precision)
+                ri = jnp.tensordot(ar, bi, axes=axes, precision=precision)
+                ir = jnp.tensordot(ai, br, axes=axes, precision=precision)
                 vals[v] = (rr - ii, ri + ir)
             re, im = vals[plan.root]
             if self.perm and self.perm != tuple(range(len(self.perm))):
@@ -405,6 +430,7 @@ class SlicedContractor:
 
         plan = self.plan
         n_leaves = plan.tree.n_leaves
+        precision = _resolve_precision(self.matmul_precision)
         steps = plan.steps
         segments = [steps[i:i + self.SEG_STEPS]
                     for i in range(0, len(steps), self.SEG_STEPS)]
@@ -427,10 +453,14 @@ class SlicedContractor:
                     ar, ai = vals.pop(a)
                     br, bi = vals.pop(b)
                     axes = (a_axes, b_axes)
-                    rr = jnp.tensordot(ar, br, axes=axes)
-                    ii = jnp.tensordot(ai, bi, axes=axes)
-                    ri = jnp.tensordot(ar, bi, axes=axes)
-                    ir = jnp.tensordot(ai, br, axes=axes)
+                    rr = jnp.tensordot(ar, br, axes=axes,
+                                       precision=precision)
+                    ii = jnp.tensordot(ai, bi, axes=axes,
+                                       precision=precision)
+                    ri = jnp.tensordot(ar, bi, axes=axes,
+                                       precision=precision)
+                    ir = jnp.tensordot(ai, br, axes=axes,
+                                       precision=precision)
                     vals[v] = (rr - ii, ri + ir)
                 if is_last:
                     re, im = vals[plan.root]

@@ -79,15 +79,14 @@ def test_indexed_mixed_hi_lo_gate():
     np.testing.assert_allclose(got, expected, atol=ATOL)
 
 
-def test_deferred_layout_matches_eager():
-    """defer=True leaves the state in gate layout; after flush it matches
-    the defer=False result exactly."""
-    import jax.numpy as jnp
-    n = 8
+def test_deferred_layout_flush_idempotent():
+    """Flushing after every gate must match one flush at the end (the
+    deferred layout is an internal detail, not a semantic one)."""
+    n = 12
     c = get_rqc(n, 25, indexes=list(range(n)))
-    for row_bits in (0, 4, 8):
-        evd = IndexedEvolver(n, row_bits=row_bits, defer=True)
-        eve = IndexedEvolver(n, row_bits=row_bits, defer=False)
+    for row_bits in (7, 10):
+        evd = IndexedEvolver(n, row_bits=row_bits)
+        eve = IndexedEvolver(n, row_bits=row_bits)
         sd = evd.prepare_state('0' * n)
         se = eve.prepare_state('0' * n)
         qubit_index = {q: q for q in range(n)}
@@ -96,8 +95,26 @@ def test_deferred_layout_matches_eager():
             qs = tuple(qubit_index[q] for q in g.qubits)
             sd = evd.apply_gate(sd, U, qs)
             se = eve.apply_gate(se, U, qs)
+            se = eve.flush(se)
         np.testing.assert_allclose(evd.gather(sd), eve.gather(se),
                                    atol=1e-4)
+
+
+def test_small_and_big_paths_agree():
+    """The flat-gather small path and the [2R, C] row/ext path must
+    produce identical states on the same circuit."""
+    n = 12
+    c = get_rqc(n, 30, indexes=list(range(n)))
+    qubit_index = {q: q for q in range(n)}
+    ev_small = IndexedEvolver(n, row_bits=0)     # forces the small path
+    ev_big = IndexedEvolver(n, row_bits=8)       # [2^5, 2^8] view
+    assert ev_small.small and not ev_big.small
+    ss = ev_small.apply_gates(ev_small.prepare_state('0' * n), c,
+                              qubit_index)
+    sb = ev_big.apply_gates(ev_big.prepare_state('0' * n), c,
+                            qubit_index)
+    np.testing.assert_allclose(ev_small.gather(ss), ev_big.gather(sb),
+                               atol=1e-4)
 
 
 def _rand_u(k, rng):
@@ -122,7 +139,7 @@ def test_extended_low7_engine_matches_oracle(max_size):
     rng = np.random.default_rng(11 + max_size)
     n = 14
     ev = IndexedEvolver(n)
-    assert ev.ext, "extended path must be active at n=14, L=10"
+    assert not ev.small, "big path must be active at n=14, L=10"
     state = ev.prepare_state('0' * n)
     psi = np.zeros(2**n, dtype=complex)
     psi[0] = 1.0
