@@ -230,14 +230,22 @@ def _build_flush(n: int, L: int, small: bool):
 # pairing scheduler
 # ---------------------------------------------------------------------
 
-def _class_cost(k: int, kh: int, kl: int) -> float:
-    """Measured per-application cost (ms, 28q v5e, HIGHEST precision) by
-    kernel class — drives the pairing scheduler's merge decisions."""
+def _class_cost(k: int, kh: int, kl: int, n: int = 28) -> float:
+    """Per-application cost estimate (ms) by kernel class — drives the
+    pairing scheduler's merge decisions.
+
+    Shape measured once at 28q on a v5e at HIGHEST precision; every
+    class is HBM-bound (state read + write) plus an MXU term, so the
+    absolute level scales with the state size ``2^n`` while the
+    *ratios* (all that pairing decisions consume) stay put.  A small
+    floor models launch overhead at tiny n."""
     if kl == 0:
-        return {7: 28.0, 8: 36.0, 9: 55.0}.get(k, 25.0) if k >= 7 \
+        base = {7: 28.0, 8: 36.0, 9: 55.0}.get(k, 25.0) if k >= 7 \
             else 25.0
-    return {0: 21.0, 1: 50.0, 2: 72.0, 3: 97.0, 4: 135.0,
-            5: 270.0}.get(kh, 1e9)
+    else:
+        base = {0: 21.0, 1: 50.0, 2: 72.0, 3: 97.0, 4: 135.0,
+                5: 270.0}.get(kh, 1e9)
+    return max(0.5, base * 2.0**(n - 28))
 
 
 def _class_of(qs, n, L):
@@ -265,10 +273,13 @@ def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
         used[i] = True
         cur = [items[i]]
         qs_set = set(items[i][1])
-        cost = _class_cost(*_class_of(items[i][1], n, L))
+        cost = _class_cost(*_class_of(items[i][1], n, L), n=n)
+        # Minimum fusion profit: ~15% of one cheap application at this
+        # state size (scale-invariant, unlike a fixed ms threshold).
+        min_profit = 0.16 * _class_cost(1, 1, 0, n=n)
         while len(qs_set) < max_k:
             blocked: set = set()
-            best_j, best_profit, best = None, 4.0, None
+            best_j, best_profit, best = None, min_profit, None
             for j in range(i + 1, len(items)):
                 if used[j]:
                     continue
@@ -281,11 +292,12 @@ def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
                 ok = k <= max_k and kl <= 7 and (kl == 0 or kh <= 3)
                 if ok:
                     profit = (cost +
-                              _class_cost(*_class_of(items[j][1], n, L))
-                              - _class_cost(k, kh, kl))
+                              _class_cost(*_class_of(items[j][1], n, L),
+                                          n=n)
+                              - _class_cost(k, kh, kl, n=n))
                     if profit > best_profit:
                         best_j, best_profit = j, profit
-                        best = (union, _class_cost(k, kh, kl))
+                        best = (union, _class_cost(k, kh, kl, n=n))
                 blocked |= qsj
             if best_j is None:
                 break
@@ -435,6 +447,133 @@ class IndexedEvolver:
             _KERNEL_CACHE[key] = fn
         return fn
 
+    def _callable(self, kind, *cls):
+        """AOT-compiled executable for this class if ``warm`` built one,
+        else the jitted function (compiles on first call)."""
+        key = ('exec', kind, self.n, self.L, str(self.float_type),
+               self.precision) + cls
+        fn = _KERNEL_CACHE.get(key)
+        return fn if fn is not None else self._kernel(kind, *cls)
+
+    # -- AOT warm-up -------------------------------------------------------
+    def plan_classes(self, qs_list, passes: int = 2):
+        """Dry-run the routing + column-layout state machine over a gate
+        sequence (dense-qubit tuples) and return the set of kernel specs
+        ``(kind, cls)`` that ``apply_gate`` would hit.  MUST mirror
+        ``apply_gate``/``_rotate_cols`` exactly (asserted by
+        ``tests/test_kernels.py::test_plan_classes_matches_apply``)."""
+        n, L = self.n, self.L
+        specs = set()
+        if self.small:
+            for qs in qs_list:
+                specs.add(('small', (len(qs),)))
+            return specs
+        Lc = min(L, n)
+        col_pos = list(self._col_pos)
+        col_use = list(self._col_use)
+        tick = self._tick
+        for _ in range(int(passes)):
+            for qs in qs_list:
+                bits = [n - 1 - q for q in qs]
+                hi = [b for b in bits if b >= L]
+                lo = [b for b in bits if b < L]
+                if not lo:
+                    specs.add(('row', (len(bits),)))
+                    continue
+                tick += 1
+                for c in lo:
+                    col_use[c] = tick
+                rotate = any(col_pos[c] >= 7 for c in lo)
+                if rotate:
+                    gate_set = set(lo)
+                    cold = [c for c in lo if col_pos[c] >= 7]
+                    victims = sorted(
+                        (c for c in range(Lc)
+                         if col_pos[c] < 7 and c not in gate_set),
+                        key=lambda c: col_use[c])
+                    for c, v in zip(cold, victims):
+                        col_pos[c], col_pos[v] = col_pos[v], col_pos[c]
+                specs.add(('ext', (len(hi), len(lo), rotate)))
+        return specs
+
+    def _warm_shapes(self, kind, cls):
+        """Abstract argument shapes for one kernel spec (the exact call
+        signature of the corresponding apply path)."""
+        import jax
+
+        ft = str(self.float_type)
+        i32 = 'int32'
+
+        def sd(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        st = sd((2, 2**self.n), ft)
+        if kind == 'small':
+            k = cls[0]
+            return (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
+                    sd((2**k,), i32), sd((2**(self.n + 1),), i32))
+        R2 = 2**(self.n - self.L + 1)
+        if kind == 'row':
+            k = cls[0]
+            return (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
+                    sd((2**k,), i32), sd((R2,), i32), sd((R2,), i32))
+        if kind == 'ext':
+            kh, kl, rotate = cls
+            k = kh + kl
+            args = (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
+                    sd((2**k,), i32), sd((128,), i32), sd((R2,), i32),
+                    sd((R2,), i32))
+            if rotate:
+                Lc = min(self.L, self.n)
+                args = args + (sd((2**Lc,), i32),)
+            return args
+        # flush
+        if self.small:
+            return (st, sd((2**(self.n + 1),), i32))
+        Lc = min(self.L, self.n)
+        return (st, sd((R2,), i32), sd((2**Lc,), i32))
+
+    def warm(self, qs_list=None, specs=(), passes: int = 2,
+             max_workers: int = 8, verbose: bool = False):
+        """AOT-compile every kernel class the gate sequence needs,
+        CONCURRENTLY (the shared remote XLA compile service has
+        minutes-level queueing per program; overlapping the waits turns
+        n_classes x queue into ~queue — same treatment as
+        ``tn/contract.py:_warm_flat_progs``).  Compiled executables are
+        cached and preferred by ``apply_gate``; failures fall back to
+        on-demand jit compilation."""
+        import sys as _sys
+        import time as _t
+        from concurrent.futures import ThreadPoolExecutor
+
+        want = set(specs)
+        if qs_list is not None:
+            want |= self.plan_classes(qs_list, passes=passes)
+        base = (self.n, self.L, str(self.float_type), self.precision)
+        todo = [s for s in sorted(want)
+                if ('exec', s[0]) + base + s[1] not in _KERNEL_CACHE]
+        if not todo:
+            return 0
+        t0 = _t.time()
+
+        def one(spec):
+            kind, cls = spec
+            fn = self._kernel(kind, *cls)
+            try:
+                exe = fn.lower(*self._warm_shapes(kind, cls)).compile()
+                _KERNEL_CACHE[('exec', kind) + base + cls] = exe
+            except Exception as e:  # advisory: jit path still works
+                if verbose:
+                    print(f"# warm {spec} failed: {type(e).__name__}",
+                          file=_sys.stderr, flush=True)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(one, todo))
+        if verbose:
+            print(f"# warmed {len(todo)} evolver programs in "
+                  f"{_t.time() - t0:.0f}s", file=_sys.stderr, flush=True)
+        return len(todo)
+
     # -- state -----------------------------------------------------------
     def prepare_state(self, state: str):
         from hybridq_tpu.simulation.prepare import prepare_state_split
@@ -463,13 +602,13 @@ class IndexedEvolver:
         if self.small:
             if self._inv_flatmap is None:
                 return state
-            fn = self._kernel('flush')
+            fn = self._callable('flush')
             state = fn(state, self._inv_flatmap)
             self._inv_flatmap = None
             return state
         if self._inv_rowmap is None and shadow_id:
             return state
-        fn = self._kernel('flush')
+        fn = self._callable('flush')
         R2 = 2**(self.n - self.L + 1)
         rowmap = self._inv_rowmap if self._inv_rowmap is not None else \
             self._identity_map(R2)
@@ -543,7 +682,7 @@ class IndexedEvolver:
             # top (position n-L).
             pos = [n - L] + [b - L for b, _ in hi]
             rp, rinv = self._perms('r', tuple(pos), n - L + 1)
-            fn = self._kernel('row', k)
+            fn = self._callable('row', k)
             out = fn(state, Ur, Ui, uperm, rp, inv_rowmap)
             self._inv_rowmap = rinv
             return out
@@ -560,17 +699,15 @@ class IndexedEvolver:
         for c in lo_canon:
             self._col_use[c] = self._tick
         rotate = any(self._col_pos[c] >= 7 for c in lo_canon)
-        kw = {}
-        if rotate:
-            kw['cperm'] = self._rotate_cols(lo_canon)
+        extra = (self._rotate_cols(lo_canon),) if rotate else ()
         phys = tuple(self._col_pos[c] for c in lo_canon)
         pperm = self._ext_pperm(phys)
         # Rows: stack bit + hi bits minor-most, stack bit leading (the
         # block-2 operator has the stack bit major within the group).
         pos = [n - L] + [b - L for b, _ in hi]
         rp, rinv = self._perms('r', tuple(pos), n - L + 1)
-        fn = self._kernel('ext', len(hi), len(lo), rotate)
-        out = fn(state, Ur, Ui, uperm, pperm, rp, inv_rowmap, **kw)
+        fn = self._callable('ext', len(hi), len(lo), rotate)
+        out = fn(state, Ur, Ui, uperm, pperm, rp, inv_rowmap, *extra)
         self._inv_rowmap = rinv
         return out
 
@@ -587,7 +724,7 @@ class IndexedEvolver:
         inv = (self._inv_flatmap if self._inv_flatmap is not None
                else self._identity_map(2**(self.n + 1)))
         eff = jnp.take(inv, fp)
-        fn = self._kernel('small', k)
+        fn = self._callable('small', k)
         out = fn(state, Ur, Ui, uperm, eff)
         self._inv_flatmap = finv
         return out

@@ -176,3 +176,64 @@ def test_pair_matrix_gates_matches_unpaired():
                               qs)
     np.testing.assert_allclose(ev.gather(state).reshape(-1), psi,
                                atol=ATOL)
+
+
+def test_plan_classes_matches_apply(monkeypatch):
+    """``plan_classes`` (the AOT warm planner) must predict exactly the
+    kernel specs ``apply_gate`` routes to, including the LRU column
+    rotation variants."""
+    rng = np.random.default_rng(7)
+    n = 14
+    qs_list = []
+    for _ in range(30):
+        k = int(rng.integers(1, 8))
+        qs_list.append(tuple(int(x)
+                             for x in rng.choice(n, k, replace=False)))
+
+    ev = IndexedEvolver(n)
+    assert not ev.small
+    planned = ev.plan_classes(qs_list, passes=2)
+
+    observed = set()
+    orig = IndexedEvolver._callable
+
+    def record(self, kind, *cls):
+        if kind != 'flush':
+            observed.add((kind, cls))
+        return orig(self, kind, *cls)
+
+    monkeypatch.setattr(IndexedEvolver, '_callable', record)
+    state = ev.prepare_state('0' * n)
+    for _ in range(2):
+        for qs in qs_list:
+            state = ev.apply_gate(state, _rand_u(len(qs), rng), qs)
+    assert observed == planned
+
+
+def test_warm_precompiles_and_matches_jit():
+    """AOT-warmed executables must produce the same state as the jit
+    path (and be preferred by ``_callable``)."""
+    from hybridq_tpu.simulation.kernels import _KERNEL_CACHE
+
+    rng = np.random.default_rng(9)
+    n = 12
+    qs_list = [tuple(int(x) for x in rng.choice(n, 4, replace=False))
+               for _ in range(6)]
+    gates = [(_rand_u(4, rng), qs) for qs in qs_list]
+
+    ev_cold = IndexedEvolver(n)
+    s0 = ev_cold.prepare_state('0' * n)
+    for U, qs in gates:
+        s0 = ev_cold.apply_gate(s0, U, qs)
+    ref = ev_cold.gather(s0)
+
+    ev = IndexedEvolver(n)
+    n_warmed = ev.warm(qs_list, passes=1)
+    assert n_warmed > 0
+    base = (ev.n, ev.L, str(ev.float_type), ev.precision)
+    for kind, cls in ev.plan_classes(qs_list, passes=1):
+        assert ('exec', kind) + base + cls in _KERNEL_CACHE
+    s1 = ev.prepare_state('0' * n)
+    for U, qs in gates:
+        s1 = ev.apply_gate(s1, U, qs)
+    np.testing.assert_allclose(ev.gather(s1), ref, atol=ATOL)
