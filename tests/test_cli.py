@@ -1,5 +1,6 @@
 """CLI tests (in-process, CPU)."""
 
+import os
 import pickle
 
 import numpy as np
@@ -9,6 +10,8 @@ from hybridq_tpu import cli
 from hybridq_tpu.circuit import utils
 from hybridq_tpu.extras.io.qasm import from_qasm
 from hybridq_tpu.simulation import prepare_state
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), '..', 'examples')
 
 
 def test_cli_simulate(tmp_path):
@@ -42,3 +45,53 @@ def test_cli_params_json(tmp_path):
 def test_cli_bad_args():
     with pytest.raises(SystemExit):
         cli.main(['--no-such-flag'])
+
+
+def test_cli_shipped_simple(tmp_path):
+    """The shipped examples/circuit_simple.qasm works from a fresh
+    checkout: hybridq-tpu examples/circuit_simple.qasm out.pk
+    (VERDICT r2 item 8; reference workflow bin/hybridq:196-200)."""
+    qasm_path = os.path.join(EXAMPLES, 'circuit_simple.qasm')
+    out = tmp_path / 'out.pk'
+    cli.main([qasm_path, str(out)])
+    with open(out, 'rb') as f:
+        results = pickle.load(f)
+    psi = np.asarray(results['simulate']).ravel()
+    np.testing.assert_allclose(np.linalg.norm(psi), 1, atol=1e-4)
+
+    # Cross-engine oracle on the same file.
+    from hybridq_tpu.simulation import simulate
+    with open(qasm_path) as f:
+        c = from_qasm(f.read())
+    expected = np.asarray(simulate(
+        c, initial_state='0', optimize='evolution-einsum',
+        backend='numpy')).ravel()
+    np.testing.assert_allclose(psi, expected, atol=1e-4)
+
+
+def test_cli_shipped_rich(tmp_path):
+    """The shipped examples/circuit.qasm (full gate alphabet incl. #@
+    power annotations) parses and simulates through the CLI."""
+    qasm_path = os.path.join(EXAMPLES, 'circuit.qasm')
+    out = tmp_path / 'out.pk'
+    cli.main([qasm_path, str(out), '--compress', '4'])
+    with open(out, 'rb') as f:
+        results = pickle.load(f)
+    psi = np.asarray(results['simulate']).ravel()
+    np.testing.assert_allclose(np.linalg.norm(psi), 1, atol=1e-4)
+
+
+def test_shipped_examples_regenerable():
+    """examples/make_circuits.py reproduces the shipped files (the
+    circuits are deterministic given their seeds)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'make_circuits', os.path.join(EXAMPLES, 'make_circuits.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.simple_circuit()
+    with open(os.path.join(EXAMPLES, 'circuit_simple.qasm')) as f:
+        shipped = from_qasm(f.read())
+    assert len(c) == len(shipped)
+    assert all(g.name == s.name and tuple(g.qubits) == tuple(s.qubits)
+               for g, s in zip(c, shipped))
