@@ -38,8 +38,11 @@ import tempfile
 N = 7
 DEPTH = 25
 SEED = 1234
-N_PROC = 2
-DEV_PER_PROC = 4
+# Process topology — overridable so CI can also run the 8-process x
+# 1-device layout, where every collective really crosses process
+# boundaries (in-process multi-device meshes hide ppermute bugs).
+N_PROC = int(os.environ.get('HYBRIDQ_TPU_EXAMPLE_NPROC', 2))
+DEV_PER_PROC = int(os.environ.get('HYBRIDQ_TPU_EXAMPLE_DEVS', 4))
 
 
 def build_workload():
