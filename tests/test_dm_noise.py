@@ -226,3 +226,34 @@ def test_batched_trajectories_match_exact_dm():
     rho = trajectory_density_matrix(Circuit(list(noisy)), 3000,
                                     initial_state='0', seed=11)
     np.testing.assert_allclose(rho, exact, atol=0.05)
+
+
+def test_batched_trajectories_general_kraus():
+    """Device-batched general-Kraus trajectories (amplitude damping is a
+    non-unitary-mixing channel → cumulative-probability Kraus projection
+    with jnp.searchsorted inside the traced program) converge to the
+    exact DM at 2000 samples.  Reference trajectory semantics:
+    ``channel.py:211-298``."""
+    from hybridq_tpu.simulation.trajectories import (
+        trajectory_density_matrix)
+
+    n = 2
+    c = Circuit([Gate('H', [0]), Gate('CX', [0, 1]), Gate('T', [1])])
+    chans = AmplitudeDampingChannel([0, 1], gamma=0.35, p=1)
+    noisy = Circuit(list(c) + list(chans) + [Gate('RY', [0],
+                                                  params=[0.7])])
+    exact = np.asarray(dm.simulate(noisy, initial_state='0',
+                                   complex_type='complex128')).reshape(
+                                       2**n, 2**n)
+    rho = trajectory_density_matrix(noisy, 2000, initial_state='0',
+                                    seed=5)
+    np.testing.assert_allclose(rho, exact, atol=0.05)
+    # And mixed stochastic + Kraus sites in one batched program.
+    mixed = Circuit(list(add_depolarizing_noise(c, probs=0.1)) +
+                    list(AmplitudeDampingChannel([0], gamma=0.5, p=0.6)))
+    exact2 = np.asarray(dm.simulate(mixed, initial_state='0',
+                                    complex_type='complex128')).reshape(
+                                        2**n, 2**n)
+    rho2 = trajectory_density_matrix(Circuit(list(mixed)), 3000,
+                                     initial_state='0', seed=6)
+    np.testing.assert_allclose(rho2, exact2, atol=0.05)
