@@ -94,6 +94,14 @@ def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3, precision='highest'):
             state = ev.apply_gate(state, U, qs, U_dev=dev)
     _ = float(np.asarray(state[0][:1])[0])
     dt = (time.perf_counter() - t0) / reps
+
+    # Refresh the pairing scheduler's measured cost model for this
+    # device kind (consumed by ``_class_cost`` on the NEXT run; a stale
+    # hardcoded table mis-steers the scheduler on other chips/n).
+    try:
+        ev.calibrate([qs for _, qs in blocks], verbose=True)
+    except Exception as e:
+        sys.stderr.write(f"# calibrate failed: {type(e).__name__}\n")
     return n_gates / dt, compile_s
 
 
@@ -184,6 +192,12 @@ def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
 
 def main():
     import threading
+
+    # Persistent XLA compile cache: every kernel class is a one-time
+    # compile per machine (the remote compile service queues for
+    # minutes; reloading the serialized executable takes <1s).
+    from hybridq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     # One common size for both sides: the shared XLA compile service has
     # multi-minute, high-variance latency, so avoid extra program sizes.

@@ -47,6 +47,13 @@
 #include <set>
 #include <vector>
 
+// Exact bitmask-DP subpath (tnopt.cpp, same shared library) — the inner
+// loop of subtree reconfiguration.
+extern "C" int tn_optimal_path(int n_tensors, int n_inds,
+                               const uint32_t* pinmask,
+                               const uint8_t* is_out, const double* logw,
+                               int* out_pairs);
+
 namespace {
 
 using std::vector;
@@ -194,6 +201,270 @@ struct Anneal {
             logflops[v] = node_flops_exp(v);
             total += std::exp2(logflops[v]);
         }
+        compute_leafcnt();
+    }
+
+    vector<int> leafcnt;  // leaves under each node
+
+    void compute_leafcnt() {
+        const int total_nodes = 2 * n - 1;
+        leafcnt.assign(total_nodes, 1);
+        vector<int> stack = {root}, post;
+        while (!stack.empty()) {
+            int v = stack.back();
+            stack.pop_back();
+            if (v < n) continue;
+            post.push_back(v);
+            stack.push_back(left[v]);
+            stack.push_back(right[v]);
+        }
+        for (auto it = post.rbegin(); it != post.rend(); ++it)
+            leafcnt[*it] = leafcnt[left[*it]] + leafcnt[right[*it]];
+    }
+
+    // ---- exact-DP subtree reconfiguration ---------------------------
+    //
+    // cotengra's `subtree_reconfigure` under the *current* (sliced)
+    // weights: take the frontier of <= max_subtree super-leaves below an
+    // expensive node, solve the sub-contraction exactly with the
+    // bitmask DP, and splice the optimal subtree in when the full
+    // objective improves.  Node ids are reused so best-state snapshots
+    // (children arrays) stay valid.
+
+    void frontier_of(int v, int K, vector<int>& fr) const {
+        fr.clear();
+        if (v < n) {
+            fr.push_back(v);
+            return;
+        }
+        fr.push_back(left[v]);
+        fr.push_back(right[v]);
+        while ((int)fr.size() < K) {
+            int bi = -1, bl = 1;
+            for (int i = 0; i < (int)fr.size(); i++) {
+                const int u = fr[i];
+                if (u >= n && leafcnt[u] > bl) {
+                    bl = leafcnt[u];
+                    bi = i;
+                }
+            }
+            if (bi < 0) break;
+            const int u = fr[bi];
+            fr[bi] = left[u];
+            fr.push_back(right[u]);
+        }
+    }
+
+    // Try to reconfigure the subtree above node v.  Returns true if the
+    // tree changed; cur_obj is updated in place.
+    bool reconfigure_node(int v, int max_subtree, double width_target,
+                          double width_lambda, bool joint,
+                          double& cur_obj, vector<int>& fr,
+                          vector<int>& region, vector<int>& ids,
+                          vector<uint32_t>& pin, vector<uint8_t>& iso,
+                          vector<double>& w, vector<int>& pairs) {
+        if (v < n) return false;
+        frontier_of(v, max_subtree, fr);
+        const int m = (int)fr.size();
+        if (m < 3 || m > 16) return false;
+
+        // Internal nodes strictly inside the region (v included).
+        region.clear();
+        vector<int> stack = {v};
+        while (!stack.empty()) {
+            const int u = stack.back();
+            stack.pop_back();
+            bool is_frontier = false;
+            for (int f : fr)
+                if (f == u) {
+                    is_frontier = true;
+                    break;
+                }
+            if (is_frontier) continue;
+            region.push_back(u);
+            stack.push_back(left[u]);
+            stack.push_back(right[u]);
+        }
+        if ((int)region.size() != m - 1) return false;  // inconsistent
+
+        // Index ids appearing in any frontier member's retained set.
+        ids.clear();
+        {
+            Bits all(words);
+            for (int f : fr) bits_or(all, inds[f], all);
+            for (int k = 0; k < words; k++) {
+                uint64_t x = all.w[k];
+                while (x) {
+                    const int b = __builtin_ctzll(x);
+                    ids.push_back(64 * k + b);
+                    x &= x - 1;
+                }
+            }
+        }
+        const int ni = (int)ids.size();
+        pin.assign(ni, 0);
+        iso.assign(ni, 0);
+        w.assign(ni, 0.0);
+        for (int j = 0; j < ni; j++) {
+            const int i = ids[j];
+            for (int t = 0; t < m; t++)
+                if (inds[fr[t]].get(i)) pin[j] |= uint32_t{1} << t;
+            iso[j] = inds[v].get(i) ? 1 : 0;
+            w[j] = lw[i];
+        }
+        pairs.assign(2 * (m - 1), -1);
+        if (tn_optimal_path(m, ni, pin.data(), iso.data(), w.data(),
+                            pairs.data()))
+            return false;
+
+        // Candidate internal nodes: local slot s (0..m-2) holds the
+        // s-th DP pair; slot m-2 is the root (takes id v).
+        // local node id t < m -> frontier member; t >= m -> slot t - m.
+        vector<Bits> cu(m - 1, Bits(words));   // union of inds under slot
+        vector<Bits> cinds(m - 1, Bits(words));
+        vector<double> csize(m - 1), cflops(m - 1);
+        Bits keep(words), tmp(words);
+        // union over ALL frontier members (for the keep complement).
+        Bits all(words);
+        for (int f : fr) bits_or(all, inds[f], all);
+
+        auto u_of = [&](int t) -> const Bits& {
+            return t < m ? inds[fr[t]] : cu[t - m];
+        };
+        for (int s = 0; s < m - 1; s++) {
+            const int a = pairs[2 * s], b = pairs[2 * s + 1];
+            if (a < 0 || b < 0 || a >= m + s || b >= m + s) return false;
+            bits_or(u_of(a), u_of(b), cu[s]);
+            // keep = inds[v] | out | union(frontier not under s)
+            //      = inds[v] | out | (all & ~cu[s]) | (parts of cu
+            //        shared with outside)  — (all & ~under) suffices
+            //        because any retained index under s that also
+            //        appears outside s within the region is in `all`
+            //        via that other member.
+            for (int k = 0; k < words; k++) {
+                // frontier members not under s contribute all-bits not
+                // exclusively under s; exact complement needs per-member
+                // test, so compute directly:
+                keep.w[k] = inds[v].w[k] | out_mask.w[k];
+            }
+            // add inds[f] for frontier members NOT under slot s
+            {
+                // membership: walk local tree
+                // mark members under s
+                vector<char> under(m, 0);
+                vector<int> st2 = {m + s};
+                while (!st2.empty()) {
+                    const int t = st2.back();
+                    st2.pop_back();
+                    if (t < m) {
+                        under[t] = 1;
+                        continue;
+                    }
+                    const int s2 = t - m;
+                    st2.push_back(pairs[2 * s2]);
+                    st2.push_back(pairs[2 * s2 + 1]);
+                }
+                for (int t = 0; t < m; t++)
+                    if (!under[t]) bits_or(keep, inds[fr[t]], keep);
+            }
+            for (int k = 0; k < words; k++)
+                cinds[s].w[k] = cu[s].w[k] & keep.w[k];
+            csize[s] = weight_of(cinds[s]);
+            bits_or((pairs[2 * s] < m ? inds[fr[pairs[2 * s]]]
+                                      : cinds[pairs[2 * s] - m]),
+                    (pairs[2 * s + 1] < m ? inds[fr[pairs[2 * s + 1]]]
+                                          : cinds[pairs[2 * s + 1] - m]),
+                    tmp);
+            cflops[s] = weight_of(tmp);
+        }
+        // Root slot must reproduce inds[v] (same leafset, same keep).
+        // Its retained set equals inds[v] by construction; trust but
+        // keep v's stored inds (identical leaf coverage).
+
+        // Objective delta: replace region's sizes/flops with candidate.
+        double new_total = total;
+        double new_excess = sum_excess;
+        for (int u : region) {
+            new_total -= std::exp2(logflops[u]);
+            if (u != v) new_excess -= excess_of(logsize[u]);
+        }
+        for (int s = 0; s < m - 1; s++) {
+            new_total += std::exp2(cflops[s]);
+            if (s != m - 2) new_excess += excess_of(csize[s]);
+        }
+        // Width: update the multiset copy lazily — compute trial width.
+        // Remove old non-v sizes, add new non-root sizes.
+        for (int u : region)
+            if (u != v) sizes.erase(sizes.find(logsize[u]));
+        for (int s = 0; s < m - 2; s++) sizes.insert(csize[s]);
+        const double new_width = width();
+        const double new_obj =
+            joint ? joint_obj(new_total, slice_bits, new_width,
+                              width_target, width_lambda, new_excess)
+                  : objective(new_total, new_width, width_target,
+                              width_lambda, new_excess);
+        if (new_obj >= cur_obj - 1e-12) {
+            // revert multiset
+            for (int s = 0; s < m - 2; s++)
+                sizes.erase(sizes.find(csize[s]));
+            for (int u : region)
+                if (u != v) sizes.insert(logsize[u]);
+            return false;
+        }
+        // Commit: assign slot ids (root -> v, others -> region ids).
+        ids.clear();  // reuse as slot -> node id map
+        ids.resize(m - 1);
+        {
+            int k = 0;
+            for (int u : region)
+                if (u != v) ids[k++] = u;
+            ids[m - 2] = v;
+        }
+        auto node_of = [&](int t) { return t < m ? fr[t] : ids[t - m]; };
+        for (int s = 0; s < m - 1; s++) {
+            const int u = ids[s];
+            const int a = node_of(pairs[2 * s]);
+            const int b = node_of(pairs[2 * s + 1]);
+            left[u] = a;
+            right[u] = b;
+            parent[a] = u;
+            parent[b] = u;
+            if (s != m - 2) {
+                inds[u] = cinds[s];
+                logsize[u] = csize[s];
+            }
+            logflops[u] = cflops[s];
+            leafcnt[u] = leafcnt[a] + leafcnt[b];
+        }
+        total = new_total;
+        sum_excess = new_excess;
+        cur_obj = new_obj;
+        return true;
+    }
+
+    // One reconfiguration pass over the most expensive nodes.
+    int reconfigure_pass(int max_subtree, double width_target,
+                         double width_lambda, bool joint,
+                         double& cur_obj, int max_nodes = 0) {
+        const int total_nodes = 2 * n - 1;
+        vector<std::pair<double, int>> order;
+        order.reserve(n - 1);
+        for (int v = n; v < total_nodes; v++)
+            order.emplace_back(-logflops[v], v);
+        std::sort(order.begin(), order.end());
+        if (max_nodes <= 0) max_nodes = n - 1;
+        vector<int> fr, region, ids, pairs;
+        vector<uint32_t> pin;
+        vector<uint8_t> iso;
+        vector<double> w;
+        int changed = 0;
+        for (int k = 0; k < (int)order.size() && k < max_nodes; k++)
+            if (reconfigure_node(order[k].second, max_subtree,
+                                 width_target, width_lambda, joint,
+                                 cur_obj, fr, region, ids, pin, iso, w,
+                                 pairs))
+                changed++;
+        return changed;
     }
 
     double width() const { return *sizes.rbegin(); }
@@ -291,6 +562,7 @@ struct Anneal {
                     logsize[B] = szB;
                     logflops[B] = fB;
                     logflops[v] = fV;
+                    leafcnt[B] = leafcnt[A] + leafcnt[C];
                     total = new_total;
                     cur_obj = new_obj;
                     if (cur_obj < best_obj - 1e-12) {
@@ -306,12 +578,33 @@ struct Anneal {
                     sizes.insert(logsize[B]);
                 }
             }
+            // --- exact-DP subtree reconfiguration, interleaved ---
+            // (cotengra's anneal alternates rotations with subtree
+            // reconfigure; the DP escapes local minima rotations can't.)
+            if (reconf_every > 0 &&
+                (sweep % reconf_every) == reconf_every - 1) {
+                if (reconfigure_pass(reconf_subtree, width_target,
+                                     width_lambda, false, cur_obj,
+                                     reconf_nodes) &&
+                    cur_obj < best_obj - 1e-12) {
+                    best_obj = cur_obj;
+                    best_left = left;
+                    best_right = right;
+                    improved_since_snapshot = true;
+                    last_improve = sweep;
+                }
+            }
         }
         // Restore the best tree and rebuild exact costs/ind sets.
         if (improved_since_snapshot || best_obj < cur_obj) {
             rebuild_from(best_left, best_right);
         }
     }
+
+    // Interleaved-reconfiguration knobs (see run/run_joint).
+    int reconf_every = 24;
+    int reconf_subtree = 10;
+    int reconf_nodes = 48;
 
     // Reset structure to given children arrays; recompute inds + costs.
     void rebuild_from(const vector<int>& l, const vector<int>& r) {
@@ -608,6 +901,7 @@ struct Anneal {
                     logsize[B] = szB;
                     logflops[B] = fB;
                     logflops[v] = fV;
+                    leafcnt[B] = leafcnt[A] + leafcnt[C];
                     total = new_total;
                     cur_obj = new_obj;
                 } else {
@@ -659,6 +953,24 @@ struct Anneal {
                     commit_slice(i, to_sliced);
                     cur_obj = new_obj;
                     const bool feas = new_width <= target + 1e-9;
+                    if ((feas && !best_feasible) ||
+                        (feas == best_feasible &&
+                         cur_obj < best_obj - 1e-12)) {
+                        best_obj = cur_obj;
+                        best_left = left;
+                        best_right = right;
+                        best_sliced = sliced;
+                        best_feasible = feas;
+                        last_improve = sweep;
+                    }
+                }
+            }
+            // --- exact-DP subtree reconfiguration, interleaved ---
+            if (reconf_every > 0 &&
+                (sweep % reconf_every) == reconf_every - 1) {
+                if (reconfigure_pass(reconf_subtree, target, lambda,
+                                     true, cur_obj, reconf_nodes)) {
+                    const bool feas = width() <= target + 1e-9;
                     if ((feas && !best_feasible) ||
                         (feas == best_feasible &&
                          cur_obj < best_obj - 1e-12)) {

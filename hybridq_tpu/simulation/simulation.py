@@ -96,6 +96,11 @@ def simulate(circuit, initial_state=None, final_state=None,
     kwargs.setdefault('allow_sampling', False)
     kwargs.setdefault('sampling_seed', None)
 
+    # Persistent XLA compile cache (one-time compile per program per
+    # machine; see utils/cache.py).
+    from hybridq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     # Optional on-device tracing (the reference has only info dicts;
     # SURVEY §5 calls for jax.profiler traces).
     profile_dir = kwargs.pop('profile_dir', None)

@@ -116,10 +116,17 @@ class SlicedContractor:
         for t, inds in zip(tensors, plan.tree.inputs):
             if t.inds != inds:
                 perm = tuple(t.inds.index(i) for i in inds)
-                self.datas.append(
-                    np.ascontiguousarray(np.transpose(t.data, perm)))
+                d = np.ascontiguousarray(np.transpose(t.data, perm))
             else:
-                self.datas.append(np.ascontiguousarray(t.data))
+                d = np.ascontiguousarray(t.data)
+            # Normalize to the declared leaf shape: a fully-simplified
+            # (scalar) tensor can arrive as shape (1,) while its index
+            # list is () — tensordot would then grow spurious size-1
+            # dims that desync every later step from ``plan.eff``.
+            want = tuple(plan.tree.size_dict[i] for i in inds)
+            if d.shape != want:
+                d = d.reshape(want)
+            self.datas.append(d)
         self.nslices = plan.nslices
 
     # -- numpy backend ---------------------------------------------------

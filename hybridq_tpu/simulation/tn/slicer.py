@@ -162,39 +162,55 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
     except RuntimeError:
         return None
 
-    # Calibrate the sweep rate, then split the budget over two chains.
+    # Calibrate the sweep rate (the calibration chain's result is kept
+    # as a candidate), then run iterated rounds of two concurrent
+    # chains, each round re-seeded from the best sliced state so far —
+    # cotengra's ``slice_and_reconfigure`` restart policy, which beats
+    # independent restarts from the unsliced optimum.
     cal = 2000
     t0c = _t.time()
-    native.joint_anneal_tree(
+    cal_out = native.joint_anneal_tree(
         tree.inputs, tree.output, tree.size_dict, ssa_pre,
         target_size=target_size, sliced=sl0, n_sweeps=cal,
         t0=0.7, t1=0.02, width_lambda=2.0, excess_lambda=0.1,
         slice_moves_per_sweep=2, seed=seed)
     rate = cal / max(_t.time() - t0c, 1e-3)
-    remaining = max(time_budget - (_t.time() - t_start), 1.0)
-    sweeps = max(2000, int(rate * remaining * 0.9))
 
-    def chain(s):
-        return native.joint_anneal_tree(
-            tree.inputs, tree.output, tree.size_dict, ssa_pre,
-            target_size=target_size, sliced=sl0, n_sweeps=sweeps,
-            t0=0.7, t1=0.02, width_lambda=2.0, excess_lambda=0.1,
-            slice_moves_per_sweep=2, seed=s)
-
-    with ThreadPoolExecutor(2) as ex:
-        results = list(ex.map(chain, [seed + 1, seed + 7919]))
-
-    best = None
-    for ssa, sl, resid, width in results:
+    def score(out):
+        ssa, sl, _, _ = out
         new = ContractionTree(tree.inputs, tree.output, tree.size_dict,
                               _ssa_to_linear(ssa, tree.n_leaves))
         sl = _drop_redundant(new, set(sl), target_size)
         c = SliceCost(new, frozenset(sl))
         feasible = c.max_size <= target_size
-        key = (not feasible, c.total_flops)
-        if best is None or key < best[0]:
-            best = (key, new, frozenset(sl), c)
-    _, new, sl, c = best
+        return (not feasible, c.total_flops), new, frozenset(sl), c, out
+
+    best = score(cal_out)
+    seed_ssa, seed_sl = ssa_pre, sl0
+    rounds = 2
+    for r in range(rounds):
+        remaining = max(time_budget - (_t.time() - t_start), 1.0)
+        sweeps = max(2000, int(rate * (remaining / (rounds - r)) * 0.45))
+
+        def chain(s):
+            return native.joint_anneal_tree(
+                tree.inputs, tree.output, tree.size_dict, seed_ssa,
+                target_size=target_size, sliced=seed_sl, n_sweeps=sweeps,
+                t0=0.7 if r == 0 else 0.35, t1=0.02, width_lambda=2.0,
+                excess_lambda=0.1, slice_moves_per_sweep=2, seed=s)
+
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(chain, [seed + 1 + 31 * r,
+                                          seed + 7919 + 31 * r]))
+        for out in results:
+            cand = score(out)
+            if cand[0] < best[0]:
+                best = cand
+        # Re-seed the next round from the best state found so far.
+        seed_ssa, seed_sl = best[4][0], best[4][1]
+        if _t.time() - t_start > time_budget:
+            break
+    _, new, sl, c, _ = best
     if c.max_size > target_size:
         return None  # fall back to the greedy descent
     if verbose:

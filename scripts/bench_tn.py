@@ -87,6 +87,9 @@ def main():
                     help='search + cache the plan, skip contraction')
     args = ap.parse_args()
 
+    from hybridq_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     os.makedirs(_CACHE, exist_ok=True)
     key = f"syc53_d{args.depth}_s{args.seed}_t{args.target}.pkl"
     path = os.path.join(_CACHE, key)
