@@ -135,6 +135,21 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
             np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
         ]
+        fn6 = lib.tn_reconfigure
+        fn6.restype = ctypes.c_int
+        fn6.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+            np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        ]
         fn2 = lib.tn_optimal_path
         fn2.restype = ctypes.c_int
         fn2.argtypes = [
@@ -334,6 +349,42 @@ def slice_anneal_tree(inputs: Sequence[Sequence[str]],
     pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
              for k in range(n - 1)]
     return pairs, sliced_names, float(stats[0]), float(stats[1])
+
+
+def reconfigure_tree(inputs: Sequence[Sequence[str]],
+                     output: Sequence[str], size_dict,
+                     ssa_pairs: Sequence[Tuple[int, int]],
+                     target_size: float,
+                     sliced: Sequence[str] = (),
+                     width_lambda: float = 2.0, max_subtree: int = 12,
+                     max_passes: int = 10, budget_ms: float = 0.0
+                     ) -> Tuple[list, float, float]:
+    """Strictly-improving exact-DP subtree-reconfiguration descent on a
+    (tree, slice set) — cotengra's final ``subtree_reconfigure`` polish
+    as one budgeted native call.  Slices are FIXED; only the tree
+    restructures.  Returns ``(ssa_pairs, log2_residual_flops,
+    log2_width)``; never worse than the input under the joint
+    objective."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tree_anneal library unavailable")
+    import math
+
+    n = len(inputs)
+    ind_ids, xinds, flat, logw, is_out, is_sl, ssa_in = _marshal_tree(
+        inputs, output, size_dict, ssa_pairs, sliced)
+    ssa_out = np.zeros(2 * (n - 1), dtype=np.int32)
+    stats = np.zeros(3, dtype=np.float64)
+    r = lib.tn_reconfigure(
+        n, len(ind_ids), xinds, flat, logw, is_out, is_sl, ssa_in,
+        math.log2(max(target_size, 1)), float(width_lambda),
+        int(max_subtree), int(max_passes), float(budget_ms),
+        ssa_out, stats)
+    if r != 0:
+        raise RuntimeError(f"tn_reconfigure failed (code {r})")
+    pairs = [(int(ssa_out[2 * k]), int(ssa_out[2 * k + 1]))
+             for k in range(n - 1)]
+    return pairs, float(stats[0]), float(stats[1])
 
 
 def joint_anneal_tree(inputs: Sequence[Sequence[str]],

@@ -40,8 +40,10 @@
 // magnitudes otherwise suffer catastrophic cancellation).
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <random>
 #include <set>
@@ -443,6 +445,10 @@ struct Anneal {
     }
 
     // One reconfiguration pass over the most expensive nodes.
+    // ``deadline`` (steady-clock, optional) bounds the pass.
+    std::chrono::steady_clock::time_point reconf_deadline{};
+    bool has_deadline = false;
+
     int reconfigure_pass(int max_subtree, double width_target,
                          double width_lambda, bool joint,
                          double& cur_obj, int max_nodes = 0) {
@@ -458,12 +464,16 @@ struct Anneal {
         vector<uint8_t> iso;
         vector<double> w;
         int changed = 0;
-        for (int k = 0; k < (int)order.size() && k < max_nodes; k++)
+        for (int k = 0; k < (int)order.size() && k < max_nodes; k++) {
+            if (has_deadline && (k & 7) == 0 &&
+                std::chrono::steady_clock::now() > reconf_deadline)
+                break;
             if (reconfigure_node(order[k].second, max_subtree,
                                  width_target, width_lambda, joint,
                                  cur_obj, fr, region, ids, pin, iso, w,
                                  pairs))
                 changed++;
+        }
         return changed;
     }
 
@@ -601,10 +611,21 @@ struct Anneal {
         }
     }
 
-    // Interleaved-reconfiguration knobs (see run/run_joint).
-    int reconf_every = 24;
-    int reconf_subtree = 10;
-    int reconf_nodes = 48;
+    // Interleaved-reconfiguration knobs (see run/run_joint), overridable
+    // via env for tuning experiments.  OFF by default: a DP pass costs
+    // ~1 ms/node vs ~0.2 ms per Metropolis sweep; measured on
+    // sycamore-53 d20 the interleave starved the joint search and LOST
+    // 9 bits of total flops at a fixed wall budget.  Reconfiguration
+    // pays as a separate strictly-improving descent on the final tree
+    // (``tn_reconfigure``), which the Python driver budgets explicitly.
+    int reconf_every = env_int("HYBRIDQ_RECONF_EVERY", 0);
+    int reconf_subtree = env_int("HYBRIDQ_RECONF_SUBTREE", 10);
+    int reconf_nodes = env_int("HYBRIDQ_RECONF_NODES", 16);
+
+    static int env_int(const char* name, int dflt) {
+        const char* s = std::getenv(name);
+        return s && *s ? std::atoi(s) : dflt;
+    }
 
     // Reset structure to given children arrays; recompute inds + costs.
     void rebuild_from(const vector<int>& l, const vector<int>& r) {
@@ -743,6 +764,34 @@ struct Anneal {
         new_excess = exc;
     }
 
+    // Residual total/width/excess if sliced index i is released AND
+    // unsliced index j is cut — one combined move, so the chain never
+    // has to cross the infeasible intermediate state that blocks
+    // sequential remove-then-add at low temperature.
+    void trial_swap(int i, int j, double& new_total, double& new_width,
+                    double& new_excess) const {
+        const double wi = base_lw[i];  // released: weight returns
+        const double wj = base_lw[j];  // cut: weight vanishes
+        const int total_nodes = 2 * n - 1;
+        double tot = 0, wmax = 0, exc = 0;
+        for (int v = 0; v < total_nodes; v++) {
+            double ls = logsize[v];
+            if (inds[v].get(i)) ls += wi;
+            if (inds[v].get(j)) ls -= wj;
+            if (ls > wmax) wmax = ls;
+            exc += excess_of(ls);
+        }
+        for (int v = n; v < total_nodes; v++) {
+            double f = logflops[v];
+            if (inds[left[v]].get(i) || inds[right[v]].get(i)) f += wi;
+            if (inds[left[v]].get(j) || inds[right[v]].get(j)) f -= wj;
+            tot += std::exp2(f);
+        }
+        new_total = tot;
+        new_width = wmax;
+        new_excess = exc;
+    }
+
     void commit_slice(int i, bool to_sliced) {
         const double w = base_lw[i] * (to_sliced ? -1.0 : 1.0);
         lw[i] = to_sliced ? 0.0 : base_lw[i];
@@ -798,6 +847,38 @@ struct Anneal {
             if (inds[v_pick].get(i) && !sliced[i] && !out_mask.get(i) &&
                 base_lw[i] > 0)
                 cand.push_back(i);
+        if (cand.empty()) return -1;
+        return cand[std::uniform_int_distribution<int>(
+            0, (int)cand.size() - 1)(rng)];
+    }
+
+    // Swap partner: an index to cut on the node that binds when sliced
+    // index i is released (the largest node containing i), or on a
+    // random i-containing node — the indices that can absorb i's job.
+    int pick_swap_add(int i) {
+        if (i < 0) return -1;
+        const int total_nodes = 2 * n - 1;
+        int v_pick = -1;
+        if (std::uniform_real_distribution<double>(0, 1)(rng) < 0.5) {
+            for (int v = 0; v < total_nodes; v++)
+                if (inds[v].get(i) &&
+                    (v_pick < 0 || logsize[v] > logsize[v_pick]))
+                    v_pick = v;
+        } else {
+            int cnt = 0;
+            std::uniform_real_distribution<double> u(0, 1);
+            for (int v = 0; v < total_nodes; v++)
+                if (inds[v].get(i)) {
+                    cnt++;
+                    if (u(rng) < 1.0 / cnt) v_pick = v;
+                }
+        }
+        if (v_pick < 0) return -1;
+        vector<int> cand;
+        for (int j = 0; j < n_inds; j++)
+            if (j != i && inds[v_pick].get(j) && !sliced[j] &&
+                !out_mask.get(j) && base_lw[j] > 0)
+                cand.push_back(j);
         if (cand.empty()) return -1;
         return cand[std::uniform_int_distribution<int>(
             0, (int)cand.size() - 1)(rng)];
@@ -922,13 +1003,52 @@ struct Anneal {
                     last_improve = sweep;
                 }
             }
-            // --- slice add/remove moves ---
+            // --- slice add/remove/swap moves ---
             for (int sm = 0; sm < slice_moves; sm++) {
                 int n_sl = 0;
                 for (int i = 0; i < n_inds; i++) n_sl += sliced[i];
+                // Swap (release one cut, make another) keeps the slice
+                // count fixed and explores the set space directly.
+                // Cold-phase only: at high temperature swaps churn the
+                // cut set faster than the tree rotations can track
+                // (measured +8 bits on sycamore-53 d20 when unga­ted).
+                const bool infeasible = width() > target + 1e-9;
+                const bool do_swap =
+                    (!infeasible && n_sl > 0 && temp < 0.08 &&
+                     unif(rng) < 0.3);
+                if (do_swap) {
+                    const int i = pick_remove();
+                    const int j = pick_swap_add(i);
+                    if (i < 0 || j < 0 || i == j) continue;
+                    double new_total, new_width, new_excess;
+                    trial_swap(i, j, new_total, new_width, new_excess);
+                    const double new_bits =
+                        slice_bits - base_lw[i] + base_lw[j];
+                    const double new_obj = joint_obj(
+                        new_total, new_bits, new_width, target, lambda,
+                        new_excess);
+                    const double d = new_obj - cur_obj;
+                    if (d <= 0 ||
+                        (temp > 0 && unif(rng) < std::exp(-d / temp))) {
+                        commit_slice(i, false);
+                        commit_slice(j, true);
+                        cur_obj = new_obj;
+                        const bool feas = new_width <= target + 1e-9;
+                        if ((feas && !best_feasible) ||
+                            (feas == best_feasible &&
+                             cur_obj < best_obj - 1e-12)) {
+                            best_obj = cur_obj;
+                            best_left = left;
+                            best_right = right;
+                            best_sliced = sliced;
+                            best_feasible = feas;
+                            last_improve = sweep;
+                        }
+                    }
+                    continue;
+                }
                 const bool do_add =
-                    (width() > target + 1e-9 || n_sl == 0 ||
-                     unif(rng) < 0.5);
+                    (infeasible || n_sl == 0 || unif(rng) < 0.5);
                 int i = -1;
                 bool to_sliced = true;
                 if (do_add) {
@@ -1076,6 +1196,55 @@ int tn_slice_anneal(int n_tensors, int n_inds, const int* xinds,
         out_stats[0] = std::log2(std::max(a.total, 1.0));
         out_stats[1] = a.width();
         out_stats[2] = n_sliced;
+    }
+    return 0;
+}
+
+// Strictly-improving exact-DP subtree reconfiguration descent on a
+// (tree, slice set) under the joint sliced objective — cotengra's
+// ``subtree_reconfigure`` polish as a standalone budgeted call (the
+// Python driver runs it ONCE on the anneal's final best state; running
+// it inside every annealing chain starved the Metropolis search).
+//   max_subtree:   frontier size solved exactly (<= 16)
+//   max_passes:    descent passes (stops earlier at a fixpoint)
+//   budget_ms:     wall-clock bound (0 = unbounded)
+//   out_stats[3] = {log2 residual flops, log2 width, slice_bits}
+int tn_reconfigure(int n_tensors, int n_inds, const int* xinds,
+                   const int* ind_ids, const double* logw,
+                   const uint8_t* is_out, const uint8_t* is_sliced,
+                   const int* ssa_in, double target_log2_width,
+                   double width_lambda, int max_subtree, int max_passes,
+                   double budget_ms, int* ssa_out, double* out_stats) {
+    if (n_tensors < 3 || n_inds <= 0) return 1;
+    Anneal a;
+    int rc = a.init(n_tensors, n_inds, xinds, ind_ids, logw, is_out,
+                    is_sliced, ssa_in, 0);
+    if (rc) return rc;
+    a.init_joint(logw, is_sliced);
+    if (budget_ms > 0) {
+        a.has_deadline = true;
+        a.reconf_deadline = std::chrono::steady_clock::now() +
+            std::chrono::milliseconds((long)budget_ms);
+    }
+    double cur = a.joint_obj(a.total, a.slice_bits, a.width(),
+                             target_log2_width, width_lambda,
+                             a.sum_excess);
+    if (max_subtree < 4) max_subtree = 4;
+    if (max_subtree > 16) max_subtree = 16;
+    for (int pass = 0; pass < max_passes; pass++) {
+        if (a.has_deadline &&
+            std::chrono::steady_clock::now() > a.reconf_deadline)
+            break;
+        if (!a.reconfigure_pass(max_subtree, target_log2_width,
+                                width_lambda, true, cur, 0))
+            break;
+    }
+    rc = a.emit(ssa_out);
+    if (rc) return rc;
+    if (out_stats) {
+        out_stats[0] = std::log2(std::max(a.total, 1.0));
+        out_stats[1] = a.width();
+        out_stats[2] = a.slice_bits;
     }
     return 0;
 }

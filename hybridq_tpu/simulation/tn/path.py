@@ -495,6 +495,23 @@ def reconfigure(tree: ContractionTree, max_subtree: int = 12,
     import time as _t
 
     sl = frozenset(sliced)
+
+    # Native full-tree descent when available: whole passes run in C++
+    # (the per-node Python/ctypes loop below is ~100x slower per node).
+    from hybridq_tpu import native
+    if native.hgp_available() and tree.n_leaves >= 4:
+        try:
+            ssa, _, _ = native.reconfigure_tree(
+                tree.inputs, tree.output, tree.size_dict,
+                tree_to_ssa(tree), target_size=1e300, sliced=sl,
+                max_subtree=max_subtree, max_passes=rounds,
+                budget_ms=time_budget * 1000.0)
+            return ContractionTree(tree.inputs, tree.output,
+                                   tree.size_dict,
+                                   _ssa_to_linear(ssa, tree.n_leaves))
+        except RuntimeError:
+            pass
+
     eff_sizes = {i: (1 if i in sl else d)
                  for i, d in tree.size_dict.items()}
     t0 = _t.time()

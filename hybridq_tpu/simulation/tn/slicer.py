@@ -172,9 +172,23 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
     cal_out = native.joint_anneal_tree(
         tree.inputs, tree.output, tree.size_dict, ssa_pre,
         target_size=target_size, sliced=sl0, n_sweeps=cal,
-        t0=0.7, t1=0.02, width_lambda=2.0, excess_lambda=0.1,
+        t0=0.7, t1=0.01, width_lambda=2.0, excess_lambda=0.1,
         slice_moves_per_sweep=2, seed=seed)
     rate = cal / max(_t.time() - t0c, 1e-3)
+
+    def polish(out, budget_ms):
+        """Strictly-improving DP subtree-reconfiguration descent on a
+        chain's best state (slices fixed) — cheap, bounded, never
+        worse under the joint objective."""
+        ssa, sl, resid, width = out
+        try:
+            ssa2, fl, wd = native.reconfigure_tree(
+                tree.inputs, tree.output, tree.size_dict, ssa,
+                target_size=target_size, sliced=sl,
+                budget_ms=budget_ms)
+            return (ssa2, sl, fl, wd)
+        except RuntimeError:
+            return out
 
     def score(out):
         ssa, sl, _, _ = out
@@ -185,7 +199,7 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
         feasible = c.max_size <= target_size
         return (not feasible, c.total_flops), new, frozenset(sl), c, out
 
-    best = score(cal_out)
+    best = score(polish(cal_out, 2000))
     seed_ssa, seed_sl = ssa_pre, sl0
     rounds = 2
     for r in range(rounds):
@@ -196,14 +210,16 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
             return native.joint_anneal_tree(
                 tree.inputs, tree.output, tree.size_dict, seed_ssa,
                 target_size=target_size, sliced=seed_sl, n_sweeps=sweeps,
-                t0=0.7 if r == 0 else 0.35, t1=0.02, width_lambda=2.0,
+                t0=0.7 if r == 0 else 0.35, t1=0.01, width_lambda=2.0,
                 excess_lambda=0.1, slice_moves_per_sweep=2, seed=s)
 
         with ThreadPoolExecutor(2) as ex:
             results = list(ex.map(chain, [seed + 1 + 31 * r,
                                           seed + 7919 + 31 * r]))
+        remaining = max(time_budget - (_t.time() - t_start), 1.0)
+        pol_ms = max(1000.0, min(8000.0, remaining * 150))
         for out in results:
-            cand = score(out)
+            cand = score(polish(out, pol_ms))
             if cand[0] < best[0]:
                 best = cand
         # Re-seed the next round from the best state found so far.
@@ -220,6 +236,78 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
               f"2^{_m.log2(max(c.total_flops, 1)):.1f}",
               file=sys.stderr, flush=True)
     return new, sl, c
+
+
+def _slice_reconf_native(tree: ContractionTree, target_size: float,
+                         time_budget: float, verbose: bool,
+                         max_subtree: int = 10):
+    """cotengra's ``slice_and_reconfigure``: greedily slice the index
+    whose removal least inflates total flops, then run the strictly-
+    improving native DP reconfiguration under the NEW weights, repeat
+    until the width target is met.  Reconfiguration (not annealing)
+    between cuts preserves tree quality at every slicing level — the
+    hot re-anneal variant measured 2^151 total flops on sycamore-53
+    d20 where this descent lands ~2^70.  Returns None when the native
+    library is unavailable."""
+    import math as _m
+    import time as _t
+
+    from hybridq_tpu import native
+    from hybridq_tpu.simulation.tn.path import (_ssa_to_linear,
+                                                tree_to_ssa)
+
+    if not native.hgp_available() or tree.n_leaves < 4:
+        return None
+    if tree.max_size() <= target_size:
+        return tree, frozenset(), SliceCost(tree, frozenset())
+
+    t_start = _t.time()
+    need = max(1.0, _m.log2(max(tree.max_size(), 1)) -
+               _m.log2(max(target_size, 1)))
+    per_ms = max(500.0, time_budget * 1000.0 / (need * 1.4))
+
+    sliced: set = set()
+    while True:
+        c = SliceCost(tree, frozenset(sliced))
+        if c.max_size <= target_size:
+            break
+        i = _next_slice(tree, sliced, target_size)
+        if i is None:
+            break
+        sliced.add(i)
+        if len(sliced) > 120:
+            return None
+        remaining_ms = max(
+            0.0, (time_budget - (_t.time() - t_start)) * 1000.0)
+        # Per-level width target = the width ACHIEVED by this cut, with
+        # a steep penalty: reconfiguration must minimize flops subject
+        # to never re-widening, else every flop-gaining splice undoes
+        # the cut and the descent spirals (measured: 66 slices, 2^103).
+        level_width = max(SliceCost(tree, frozenset(sliced)).max_size,
+                          target_size)
+        try:
+            ssa, _, _ = native.reconfigure_tree(
+                tree.inputs, tree.output, tree.size_dict,
+                tree_to_ssa(tree), target_size=level_width,
+                sliced=sliced, width_lambda=16.0,
+                max_subtree=max_subtree,
+                budget_ms=min(per_ms, remaining_ms))
+            tree = ContractionTree(tree.inputs, tree.output,
+                                   tree.size_dict,
+                                   _ssa_to_linear(ssa, tree.n_leaves))
+        except RuntimeError:
+            return None
+    sliced = _drop_redundant(tree, sliced, target_size)
+    c = SliceCost(tree, frozenset(sliced))
+    if c.max_size > target_size:
+        return None
+    if verbose:
+        import sys
+        print(f"# slice+reconfigure descent {_t.time()-t_start:.0f}s: "
+              f"{len(sliced)} sliced, total "
+              f"2^{_m.log2(max(c.total_flops, 1)):.1f}",
+              file=sys.stderr, flush=True)
+    return tree, frozenset(sliced), c
 
 
 def _slice_anneal_native(tree: ContractionTree, target_size: float,

@@ -18,7 +18,8 @@ from hybridq_tpu.architecture.google import sycamore
 from hybridq_tpu.circuit import Circuit, utils
 from hybridq_tpu.gate import Gate
 from hybridq_tpu.simulation.tn.network import build_tn
-from hybridq_tpu.simulation.tn.path import PathInfo, find_path, reconfigure
+from hybridq_tpu.simulation.tn.path import (PathInfo, anneal, find_path,
+                                            reconfigure)
 from hybridq_tpu.simulation.tn.slicer import slice_and_reconfigure
 
 
@@ -68,7 +69,12 @@ def main():
     print(f"search   {t_search:7.1f}s  {info}")
 
     t0 = time.time()
-    tree = reconfigure(tree, time_budget=90)
+    tree = anneal(tree, time_budget=60)
+    info = PathInfo(tree)
+    print(f"anneal   {time.time()-t0:7.1f}s  {info}")
+
+    t0 = time.time()
+    tree = reconfigure(tree, time_budget=30)
     info = PathInfo(tree)
     print(f"reconfig {time.time()-t0:7.1f}s  {info}")
 
