@@ -173,7 +173,7 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
         tree.inputs, tree.output, tree.size_dict, ssa_pre,
         target_size=target_size, sliced=sl0, n_sweeps=cal,
         t0=0.7, t1=0.01, width_lambda=2.0, excess_lambda=0.1,
-        slice_moves_per_sweep=2, seed=seed)
+        slice_moves_per_sweep=6, seed=seed)
     rate = cal / max(_t.time() - t0c, 1e-3)
 
     def polish(out, budget_ms):
@@ -211,7 +211,7 @@ def _joint_anneal_native(tree: ContractionTree, target_size: float,
                 tree.inputs, tree.output, tree.size_dict, seed_ssa,
                 target_size=target_size, sliced=seed_sl, n_sweeps=sweeps,
                 t0=0.7 if r == 0 else 0.35, t1=0.01, width_lambda=2.0,
-                excess_lambda=0.1, slice_moves_per_sweep=2, seed=s)
+                excess_lambda=0.1, slice_moves_per_sweep=6, seed=s)
 
         with ThreadPoolExecutor(2) as ex:
             results = list(ex.map(chain, [seed + 1 + 31 * r,
