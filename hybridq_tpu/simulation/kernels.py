@@ -8,13 +8,17 @@ single runtime-position kernel (``include/U.h:123-202``: positions are
 function arguments, not template parameters).  This module is the XLA
 equivalent, round-2 edition:
 
-  * the state is ONE flat f32 array ``[2, 2^n]`` — re and im stacked.
-    The stack bit rides as the top *row* bit of the ``[2R, C]`` view
-    (rows of 2^L contiguous amplitudes), so a complex gate application
-    is ONE real matmul against the 2x2 block matrix
+  * the state is ONE f32 array held PERMANENTLY in the kernels'
+    ``[2R, C]`` view (rows of 2^L contiguous amplitudes; the stack
+    (re/im) bit is the top row bit), so a complex gate application is
+    ONE real matmul against the 2x2 block matrix
     ``[[Ur, -Ui], [Ui, Ur]]`` contracting (stack, gate-bits) together —
     half the HBM passes of the split-pair 4-matmul form (measured:
-    13 ms vs 22 ms per einsum at 28q);
+    13 ms vs 22 ms per einsum at 28q).  The container shape matters: a
+    ``[2, 2^n]`` stacked pair is sublane-padded 4x on TPU (minor-2
+    dims pad to 8) and every cross-container reshape is a relayout
+    pass — 47 ms/gate stacked vs 18 ms native-2D at 28q, measured in
+    ``scripts/probe_row_w.py``;
   * one jitted program per (k_hi, k_lo) gate-size class takes the gate
     matrix and *permutation index vectors* as runtime arguments;
     applying any k-qubit gate anywhere costs zero recompiles.  Row
@@ -126,7 +130,7 @@ def _build_row_kernel(n: int, k: int, L: int, prec: str):
         x = jnp.take(jnp.reshape(st, (R2, C)), eff, axis=0)
         x = x.reshape(-1, Q, C)
         out = jnp.einsum('rQc,PQ->rPc', x, W, precision=precision)
-        return jnp.reshape(out, (2, -1))
+        return jnp.reshape(out, (R2, C))
 
     return jax.jit(apply, donate_argnums=(0,))
 
@@ -180,7 +184,43 @@ def _build_ext_kernel(n: int, k_hi: int, k_lo: int, L: int, rotate: bool,
         x = jnp.take(x, eff, axis=0)
         x = x.reshape(-1, Q, G, 128)
         out = jnp.einsum('rQgX,PxQX->rPgx', x, W, precision=precision)
-        return jnp.reshape(out, (2, -1))
+        return jnp.reshape(out, (R2, C))
+
+    return jax.jit(apply, donate_argnums=(0,))
+
+
+def _build_gext_kernel(n: int, k_hi: int, k_lo: int, L: int,
+                       rotate: bool, prec: str):
+    """(k_hi>0, 0<k_lo<=L-7) class: gate column bits are re-homed to
+    the TOP of the column index (the G range, OUTSIDE the minor-128
+    lanes), where they are adjacent to the row-minor (stack, hi) block
+    in the flat order — merging them gives the row kernel's einsum
+    shape with contraction 2^(k+1) instead of the 128-lane-extended
+    operator (measured 38 ms vs 56-110 ms at 28q for kh=1..3).
+    ``rotate=True`` prepends a fused column gather doing the re-home."""
+    import jax
+    import jax.numpy as jnp
+
+    R2 = 2**(n - L + 1)
+    C = 2**L
+    K2 = 2**(k_hi + k_lo + 1)
+    Y = C // 2**k_lo
+    precision = _precision(prec)
+
+    def apply(st, Ur, Ui, uperm, rp, inv_rowmap, cperm=None):
+        Ur = jnp.take(jnp.take(Ur, uperm, axis=0), uperm, axis=1)
+        Ui = jnp.take(jnp.take(Ui, uperm, axis=0), uperm, axis=1)
+        W = _block2(Ur, Ui, st.dtype)
+        eff = jnp.take(inv_rowmap, rp)
+        x = jnp.reshape(st, (R2, C))
+        if rotate:
+            x = jnp.take(x, cperm, axis=1)
+        x = jnp.take(x, eff, axis=0)
+        # Merged contraction dim: (stack, hi row bits, lo col-top bits)
+        # are adjacent in the flat order.
+        x = x.reshape(-1, K2, Y)
+        out = jnp.einsum('rKY,PK->rPY', x, W, precision=precision)
+        return jnp.reshape(out, (R2, C))
 
     return jax.jit(apply, donate_argnums=(0,))
 
@@ -221,7 +261,7 @@ def _build_flush(n: int, L: int, small: bool):
         def flush(st, rowmap, colmap):
             x = jnp.reshape(st, (R2, C))
             x = jnp.take(jnp.take(x, rowmap, axis=0), colmap, axis=1)
-            return jnp.reshape(x, (2, -1))
+            return x
 
     return jax.jit(flush, donate_argnums=(0,))
 
@@ -278,17 +318,26 @@ def _class_cost(k: int, kh: int, kl: int, n: int = 28) -> float:
     at 28q on a v5e at HIGHEST precision; ratios are what pairing
     decisions consume).  A small floor models launch overhead."""
     calib = _calibration()
-    kind = 'row' if kl == 0 else 'ext'
+    # Routing mirror of apply_gate at the default L=10 (3 G bits).
+    if kl == 0:
+        kind = 'row'
+    elif kh > 0 and kl <= 3:
+        kind = 'gext'
+    else:
+        kind = 'ext'
     key = f"{_device_kind()}|{kind}|{k}|{kh}|{kl}"
     meas = calib.get(key)
     if meas is not None:
         n_meas, ms = meas
         return max(0.5, float(ms) * 2.0**(n - float(n_meas)))
-    if kl == 0:
-        base = {7: 28.0, 8: 36.0, 9: 55.0}.get(k, 25.0) if k >= 7 \
-            else 25.0
+    if kind == 'row':
+        base = {7: 28.0, 8: 36.0, 9: 55.0}.get(k, 22.0) if k >= 7 \
+            else 22.0
+    elif kind == 'gext':
+        # merged-K: bandwidth-bound, flat in kh (measured 38 ms at 28q)
+        base = 38.0
     else:
-        base = {0: 21.0, 1: 50.0, 2: 72.0, 3: 97.0, 4: 135.0,
+        base = {0: 21.0, 1: 56.0, 2: 72.0, 3: 110.0, 4: 135.0,
                 5: 270.0}.get(kh, 1e9)
     return max(0.5, base * 2.0**(n - 28))
 
@@ -334,7 +383,8 @@ def pair_matrix_gates(items, n: int, L: int = DEFAULT_ROW_BITS,
                     continue
                 union = qs_set | qsj
                 k, kh, kl = _class_of(union, n, L)
-                ok = k <= max_k and kl <= 7 and (kl == 0 or kh <= 3)
+                ok = k <= max_k and kl <= 7 and \
+                    (kl == 0 or kh <= 3 or (kl <= 3 and kh <= 5))
                 if ok:
                     profit = (cost +
                               _class_cost(*_class_of(items[j][1], n, L),
@@ -482,6 +532,9 @@ class IndexedEvolver:
             if kind == 'row':
                 fn = _build_row_kernel(self.n, cls[0], self.L,
                                        self.precision)
+            elif kind == 'gext':
+                fn = _build_gext_kernel(self.n, cls[0], cls[1], self.L,
+                                        cls[2], self.precision)
             elif kind == 'ext':
                 fn = _build_ext_kernel(self.n, cls[0], cls[1], self.L,
                                        cls[2], self.precision)
@@ -517,6 +570,8 @@ class IndexedEvolver:
         col_pos = list(self._col_pos)
         col_use = list(self._col_use)
         tick = self._tick
+        col_shadow = list(self._col_shadow)
+        gbits = max(0, L - 7)
         for _ in range(int(passes)):
             for qs in qs_list:
                 bits = [n - 1 - q for q in qs]
@@ -528,6 +583,20 @@ class IndexedEvolver:
                 tick += 1
                 for c in lo:
                     col_use[c] = tick
+                if hi and len(lo) <= gbits:
+                    targets = list(range(L - 1, L - 1 - len(lo), -1))
+                    rotate = (set(col_pos[c] for c in lo) !=
+                              set(targets))
+                    if rotate:
+                        for c, t in zip(lo, targets):
+                            cur = col_pos[c]
+                            if cur == t:
+                                continue
+                            v = col_shadow[t]
+                            col_pos[c], col_pos[v] = t, cur
+                            col_shadow[t], col_shadow[cur] = c, v
+                    specs.add(('gext', (len(hi), len(lo), rotate)))
+                    continue
                 rotate = any(col_pos[c] >= 7 for c in lo)
                 if rotate:
                     gate_set = set(lo)
@@ -538,6 +607,8 @@ class IndexedEvolver:
                         key=lambda c: col_use[c])
                     for c, v in zip(cold, victims):
                         col_pos[c], col_pos[v] = col_pos[v], col_pos[c]
+                        cs, vs = col_pos[c], col_pos[v]
+                        col_shadow[cs], col_shadow[vs] = c, v
                 specs.add(('ext', (len(hi), len(lo), rotate)))
         return specs
 
@@ -552,16 +623,30 @@ class IndexedEvolver:
         def sd(shape, dt):
             return jax.ShapeDtypeStruct(shape, dt)
 
-        st = sd((2, 2**self.n), ft)
         if kind == 'small':
             k = cls[0]
+            st = sd((2, 2**self.n), ft)
             return (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
                     sd((2**k,), i32), sd((2**(self.n + 1),), i32))
+        # Big path: the state LIVES in the kernels' [2R, C] view — a
+        # [2, 2^n] container is sublane-padded 4x on TPU (dim 2 -> 8)
+        # and every reshape across containers costs a relayout pass
+        # (measured: 47 ms/gate stacked vs 18 ms native-2D at 28q).
         R2 = 2**(self.n - self.L + 1)
+        st = sd((R2, 2**self.L), ft)
         if kind == 'row':
             k = cls[0]
             return (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
                     sd((2**k,), i32), sd((R2,), i32), sd((R2,), i32))
+        if kind == 'gext':
+            kh, kl, rotate = cls
+            k = kh + kl
+            args = (st, sd((2**k, 2**k), ft), sd((2**k, 2**k), ft),
+                    sd((2**k,), i32), sd((R2,), i32), sd((R2,), i32))
+            if rotate:
+                Lc = min(self.L, self.n)
+                args = args + (sd((2**Lc,), i32),)
+            return args
         if kind == 'ext':
             kh, kl, rotate = cls
             k = kh + kl
@@ -574,7 +659,7 @@ class IndexedEvolver:
             return args
         # flush
         if self.small:
-            return (st, sd((2**(self.n + 1),), i32))
+            return (sd((2, 2**self.n), ft), sd((2**(self.n + 1),), i32))
         Lc = min(self.L, self.n)
         return (st, sd((R2,), i32), sd((2**Lc,), i32))
 
@@ -653,6 +738,18 @@ class IndexedEvolver:
                     jnp.arange(2**k, dtype=jnp.int32),
                     jnp.arange(R2, dtype=jnp.int32),
                     jnp.arange(R2, dtype=jnp.int32))
+        if kind == 'gext':
+            kh, kl, rotate = cls
+            k = kh + kl
+            eye = jnp.eye(2**k, dtype=ft)
+            args = (eye, jnp.zeros_like(eye),
+                    jnp.arange(2**k, dtype=jnp.int32),
+                    jnp.arange(R2, dtype=jnp.int32),
+                    jnp.arange(R2, dtype=jnp.int32))
+            if rotate:
+                Lc = min(self.L, self.n)
+                args = args + (jnp.arange(2**Lc, dtype=jnp.int32),)
+            return args
         # ext
         kh, kl, rotate = cls
         k = kh + kl
@@ -692,7 +789,8 @@ class IndexedEvolver:
             return {}
 
         def _sync(st):
-            return float(np.asarray(st[0][:1])[0])
+            # first element readback (container-agnostic)
+            return float(np.asarray(st[:1, :1])[0, 0])
 
         st = self.prepare_state('0' * self.n)
         _sync(st)
@@ -714,9 +812,9 @@ class IndexedEvolver:
             ms = max((_t.perf_counter() - t0 - t_sync) / reps, 1e-4) * 1e3
             if kind == 'row':
                 key = (f"{_device_kind()}|row|{cls[0]}|{cls[0]}|0")
-            elif kind == 'ext':
+            elif kind in ('ext', 'gext'):
                 kh, kl = cls[0], cls[1]
-                key = f"{_device_kind()}|ext|{kh + kl}|{kh}|{kl}"
+                key = f"{_device_kind()}|{kind}|{kh + kl}|{kh}|{kl}"
             else:
                 key = f"{_device_kind()}|small|{cls[0]}|0|{cls[0]}"
             # rotate/non-rotate variants share a key: keep the cheaper
@@ -742,14 +840,34 @@ class IndexedEvolver:
         return out
 
     # -- state -----------------------------------------------------------
-    def prepare_state(self, state: str):
-        from hybridq_tpu.simulation.prepare import prepare_state_split
+    #
+    # Container contract: the big path holds the state as the kernels'
+    # [2R, C] view (stack bit = top row bit; flattening gives re then
+    # im contiguously); the small path holds a [2, 2^n] stacked pair.
+    # ``pack``/``unpack_host`` convert; both flatten identically.
+
+    def pack(self, re, im):
+        """Device split pair (flat or any shape) -> engine container."""
         import jax.numpy as jnp
 
-        # Stack ON DEVICE: a host round-trip here is 3x the state size
+        re = jnp.reshape(re, -1)
+        im = jnp.reshape(im, -1)
+        if self.small:
+            return jnp.stack([re, im])
+        R2, C = 2**(self.n - self.L + 1), 2**self.L
+        return jnp.reshape(jnp.concatenate([re, im]), (R2, C))
+
+    def unpack_host(self, state):
+        """Engine container -> host ndarray [2, 2^n] (re, im)."""
+        return np.asarray(state).reshape(2, -1)
+
+    def prepare_state(self, state: str):
+        from hybridq_tpu.simulation.prepare import prepare_state_split
+
+        # Pack ON DEVICE: a host round-trip here is 3x the state size
         # through the (slow) tunnel at 28q.
         re, im = prepare_state_split(state, float_type=self.float_type)
-        return jnp.stack([jnp.reshape(re, -1), jnp.reshape(im, -1)])
+        return self.pack(re, im)
 
     def _shadow_colmap(self):
         """Canonicalizing column index vector from the shadow."""
@@ -788,6 +906,28 @@ class IndexedEvolver:
         return state
 
     # -- gate application -------------------------------------------------
+    def _rehome_cols(self, lo_canon, targets):
+        """Place canonical column bit ``lo_canon[i]`` at physical
+        position ``targets[i]`` (pairwise swaps with the current
+        occupants); updates the shadow and returns the 2^L column
+        gather index vector realizing the move."""
+        import jax.numpy as jnp
+
+        Lc = min(self.L, self.n)
+        old_pos = list(self._col_pos)
+        for c, t in zip(lo_canon, targets):
+            cur = self._col_pos[c]
+            if cur == t:
+                continue
+            v = self._col_shadow[t]
+            self._col_pos[c], self._col_pos[v] = t, cur
+            self._col_shadow[t], self._col_shadow[cur] = c, v
+        x = np.arange(2**Lc, dtype=np.int64)
+        m = np.zeros_like(x)
+        for c in range(Lc):
+            m |= ((x >> self._col_pos[c]) & 1) << old_pos[c]
+        return jnp.asarray(m.astype(np.int32))
+
     def _rotate_cols(self, lo_canon):
         """Re-home cold gate column bits into the physical low-7 (LRU
         eviction); updates the shadow and returns the 2^L column gather
@@ -837,8 +977,6 @@ class IndexedEvolver:
 
         hi = [(b, j) for j, b in enumerate(bits) if b >= L]
         lo = [(b, j) for j, b in enumerate(bits) if b < L]
-        order = [j for _, j in hi] + [j for _, j in lo]
-        uperm = self._uperm(tuple(order))
         R2 = 2**(n - L + 1)
         inv_rowmap = (self._inv_rowmap if self._inv_rowmap is not None
                       else self._identity_map(R2))
@@ -847,6 +985,7 @@ class IndexedEvolver:
             # (k, 0): gather (stack bit + gate bits) minor-most; the
             # canonical row space has n-L+1 bits with the stack bit on
             # top (position n-L).
+            uperm = self._uperm(tuple(j for _, j in hi))
             pos = [n - L] + [b - L for b, _ in hi]
             rp, rinv = self._perms('r', tuple(pos), n - L + 1)
             fn = self._callable('row', k)
@@ -860,19 +999,48 @@ class IndexedEvolver:
                 "unsupported; keep fused blocks within k_lo <= 7 and "
                 "k_hi <= 5")
 
-        # (k_hi, k_lo>0): extended low-7 kernel.
         self._tick += 1
         lo_canon = [b for b, _ in lo]
         for c in lo_canon:
             self._col_use[c] = self._tick
+        pos = [n - L] + [b - L for b, _ in hi]
+        rp, rinv = self._perms('r', tuple(pos), n - L + 1)
+
+        # (k_hi>0, small k_lo): merged-K kernel with the gate column
+        # bits at the TOP of the column index (outside the minor-128) —
+        # no 128-lane extension (38 ms vs 56-110 ms at 28q).  Rotation
+        # is by SET membership only: a gate bit already anywhere in the
+        # top-kl positions stays put, its order absorbed into ``uperm``
+        # (the column gather is a whole extra HBM pass — measured
+        # 74-85 ms rotated vs ~38 ms in place).
+        gbits = max(0, L - 7)
+        if hi and len(lo) <= gbits:
+            targets = list(range(L - 1, L - 1 - len(lo_canon), -1))
+            rotate = (set(self._col_pos[c] for c in lo_canon) !=
+                      set(targets))
+            if rotate:
+                extra = (self._rehome_cols(lo_canon, targets),)
+            else:
+                extra = ()
+            # uperm: hi bits in gate order, lo bits by final physical
+            # position DESCENDING (col MSB first in the merged K).
+            lo_sorted = sorted(lo, key=lambda bj: -self._col_pos[bj[0]])
+            uperm = self._uperm(tuple([j for _, j in hi] +
+                                      [j for _, j in lo_sorted]))
+            fn = self._callable('gext', len(hi), len(lo), rotate)
+            out = fn(state, Ur, Ui, uperm, rp, inv_rowmap, *extra)
+            self._inv_rowmap = rinv
+            return out
+
+        # (k_hi, k_lo>0): extended low-7 kernel.
+        uperm = self._uperm(tuple([j for _, j in hi] +
+                                  [j for _, j in lo]))
         rotate = any(self._col_pos[c] >= 7 for c in lo_canon)
         extra = (self._rotate_cols(lo_canon),) if rotate else ()
         phys = tuple(self._col_pos[c] for c in lo_canon)
         pperm = self._ext_pperm(phys)
         # Rows: stack bit + hi bits minor-most, stack bit leading (the
         # block-2 operator has the stack bit major within the group).
-        pos = [n - L] + [b - L for b, _ in hi]
-        rp, rinv = self._perms('r', tuple(pos), n - L + 1)
         fn = self._callable('ext', len(hi), len(lo), rotate)
         out = fn(state, Ur, Ui, uperm, pperm, rp, inv_rowmap, *extra)
         self._inv_rowmap = rinv
@@ -930,6 +1098,7 @@ class IndexedEvolver:
 
     def gather(self, state, complex_type='complex64') -> np.ndarray:
         state = self.flush(state)
-        out = np.asarray(state[0]).astype(complex_type)
-        out += 1j * np.asarray(state[1]).astype(self.float_type)
+        flat = self.unpack_host(state)
+        out = flat[0].astype(complex_type)
+        out += 1j * flat[1].astype(self.float_type)
         return out.reshape((2,) * self.n)

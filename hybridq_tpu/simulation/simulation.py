@@ -336,8 +336,8 @@ def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
         state = ev.prepare_state(initial_state)
     else:
         re_h, im_h = split_complex(initial_state, ev.float_type)
-        state = jnp.asarray(np.stack([np.asarray(re_h).reshape(-1),
-                                      np.asarray(im_h).reshape(-1)]))
+        state = ev.pack(jnp.asarray(np.asarray(re_h).reshape(-1)),
+                        jnp.asarray(np.asarray(im_h).reshape(-1)))
 
     for kind, payload in _segment_blocks(blocks):
         if kind == 'mat':
@@ -346,17 +346,17 @@ def _evolve_indexed(blocks, qubits, qubit_index, initial_state,
             state = ev.apply_gates(state, gates, qubit_index)
         else:
             state = ev.flush(state)  # restore canonical layout
+            flat = ev.unpack_host(state)
             host_psi = merge_complex(
-                np.asarray(state[0]).reshape((2,) * n_qubits),
-                np.asarray(state[1]).reshape((2,) * n_qubits),
+                flat[0].reshape((2,) * n_qubits),
+                flat[1].reshape((2,) * n_qubits),
                 complex_type)
             new_psi, new_order = payload(host_psi, tuple(qubits))
             if tuple(new_order) != tuple(qubits):
                 raise RuntimeError("'order' has changed.")
             re_h, im_h = split_complex(new_psi, ev.float_type)
-            state = jnp.asarray(np.stack(
-                [np.asarray(re_h).reshape(-1),
-                 np.asarray(im_h).reshape(-1)]))
+            state = ev.pack(jnp.asarray(np.asarray(re_h).reshape(-1)),
+                            jnp.asarray(np.asarray(im_h).reshape(-1)))
     if kwargs['block_until_ready']:
         state.block_until_ready()
     return ev.gather(state, complex_type)

@@ -56,7 +56,7 @@ def build_plan(depth, seed, search_s, target, verbose=True):
     tree = find_path(inputs, output_order, size_dict, max_repeats=16,
                      seed=seed)
     tree = anneal(tree, time_budget=0.5 * search_s, verbose=verbose)
-    reconfigure(tree, time_budget=min(30.0, 0.1 * search_s))
+    tree = reconfigure(tree, time_budget=min(30.0, 0.1 * search_s))
     if verbose:
         print(f"# search {time.time()-t0:.0f}s: {PathInfo(tree)}",
               file=sys.stderr)
