@@ -297,15 +297,14 @@ def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
         raise NotImplementedError(
             "optimize='evolution-sharded' currently requires a token "
             "string initial state.")
-    mode = kwargs.get('sharded_mode')
-    if mode is None:
-        # Measure/Projection/Message run natively only in the indexed
-        # (runtime-position) variant; pick it automatically so the
-        # default sharded path handles measurement-bearing circuits
-        # (reference ``simulation.py:522-649`` supports them inline).
-        has_functional = any(isinstance(g, FunctionalGate)
-                             for g in Circuit(circuit))
-        mode = 'indexed' if has_functional else 'traced'
+    # Default to the runtime-position (indexed) variant: it compiles one
+    # kernel per gate-size class (the traced engine recompiles per
+    # circuit *structure* — the wrong default for one-off circuits) and
+    # it is the only variant running Measure/Projection/Message natively
+    # (reference ``simulation.py:522-649`` supports them inline).
+    # ``sharded_mode='traced'`` opts into whole-schedule tracing for
+    # workloads that reuse one circuit shape many times.
+    mode = kwargs.get('sharded_mode') or 'indexed'
     cls = ShardedIndexedEvolver if mode == 'indexed' else ShardedEvolver
     ev = cls(n_qubits=len(qubits),
              devices=kwargs.get('devices'),

@@ -31,7 +31,14 @@ _FLAT_PROG_CACHE: dict = {}
 
 
 class ContractionPlan:
-    """Static schedule of pairwise tensordots for (tree, sliced)."""
+    """Static schedule of pairwise contractions for (tree, sliced).
+
+    Hyperedge-aware: an index shared by both children that is RETAINED
+    at the parent (``tree.node_inds``: it appears in a third subtree or
+    in the output — quimb-style hyper indices, produced by
+    ``TensorNetwork.diagonal_reduce``) is *batched*, not summed.  Each
+    step carries a tensordot spec (fast path, no batch) or an einsum
+    spec in integer-label form (batched)."""
 
     def __init__(self, tree: ContractionTree, sliced: FrozenSet[str]):
         self.tree = tree
@@ -43,19 +50,30 @@ class ContractionPlan:
         self.eff: Dict[int, Tuple[str, ...]] = {}
         for v in range(tree.n_leaves):
             self.eff[v] = tuple(i for i in tree.inputs[v] if i not in sl)
-        self.steps: List[Tuple[int, int, int, Tuple[int, ...],
-                               Tuple[int, ...]]] = []
+        self.steps: List[tuple] = []
         for v in tree.topo_order():
             if v < tree.n_leaves:
                 continue
             a, b = tree.children[v]
             ea, eb = self.eff[a], self.eff[b]
+            retained = set(tree.node_inds[v])
             shared = [i for i in ea if i in eb]
-            a_axes = tuple(ea.index(i) for i in shared)
-            b_axes = tuple(eb.index(i) for i in shared)
-            self.eff[v] = tuple(i for i in ea if i not in shared) + tuple(
+            summed = [i for i in shared if i not in retained]
+            batch = tuple(i for i in shared if i in retained)
+            self.eff[v] = batch + tuple(
+                i for i in ea if i not in shared) + tuple(
                 i for i in eb if i not in shared)
-            self.steps.append((v, a, b, a_axes, b_axes))
+            if not batch:
+                a_axes = tuple(ea.index(i) for i in summed)
+                b_axes = tuple(eb.index(i) for i in summed)
+                self.steps.append((v, a, b, a_axes, b_axes, None))
+            else:
+                labels = {i: k for k, i in enumerate(
+                    dict.fromkeys(ea + eb))}
+                spec = (tuple(labels[i] for i in ea),
+                        tuple(labels[i] for i in eb),
+                        tuple(labels[i] for i in self.eff[v]))
+                self.steps.append((v, a, b, None, None, spec))
         self.root = tree.root
 
         # Per-leaf sliced axes: (axis_in_original_inds, slice_position).
@@ -78,6 +96,28 @@ class ContractionPlan:
         if set(root_inds) != set(output_order):
             raise ValueError("output order inconsistent with root indices")
         return tuple(root_inds.index(i) for i in output_order)
+
+
+def _pair_contract_jnp(ar, ai, br, bi, a_axes, b_axes, spec, precision):
+    """Split-complex pairwise contraction (tensordot fast path, einsum
+    integer-label form when the step batches hyperedge indices)."""
+    import jax.numpy as jnp
+
+    if spec is None:
+        def t(x, y):
+            return jnp.tensordot(x, y, axes=(a_axes, b_axes),
+                                 precision=precision)
+    else:
+        la, lb, lo = spec
+
+        def t(x, y):
+            return jnp.einsum(x, list(la), y, list(lb), list(lo),
+                              precision=precision)
+    rr = t(ar, br)
+    ii = t(ai, bi)
+    ri = t(ar, bi)
+    ir = t(ai, br)
+    return rr - ii, ri + ir
 
 
 def _resolve_precision(name: str):
@@ -140,9 +180,14 @@ class SlicedContractor:
     def contract_slice_np(self, sid: int) -> np.ndarray:
         vals = {v: self._leaf_np(v, sid)
                 for v in range(self.plan.tree.n_leaves)}
-        for v, a, b, a_axes, b_axes in self.plan.steps:
-            vals[v] = np.tensordot(vals.pop(a), vals.pop(b),
-                                   axes=(a_axes, b_axes))
+        for v, a, b, a_axes, b_axes, spec in self.plan.steps:
+            if spec is None:
+                vals[v] = np.tensordot(vals.pop(a), vals.pop(b),
+                                       axes=(a_axes, b_axes))
+            else:
+                la, lb, lo = spec
+                vals[v] = np.einsum(vals.pop(a), list(la),
+                                    vals.pop(b), list(lb), list(lo))
         out = vals[self.plan.root]
         return np.transpose(out, self.perm) if self.perm else out
 
@@ -181,14 +226,19 @@ class SlicedContractor:
         for v in range(plan.tree.n_leaves):
             order[v] = plan.eff[v]
         sched = []
-        for v, a, b, _, _ in plan.steps:
+        for v, a, b, _, _, _ in plan.steps:
             ea, eb = order.pop(a), order.pop(b)
+            retained = set(plan.eff[v])
             shared = [i for i in ea if i in eb]
-            s = len(shared)
+            # Hyperedge indices retained at the parent ride as a batch
+            # dimension of the step's matmul.
+            summed = [i for i in shared if i not in retained]
+            batch = [i for i in shared if i in retained]
+            s, nb = len(summed), len(batch)
             ka, kb = len(ea), len(eb)
             # Left operand = the one with the larger free side (avoid
             # [tiny, K] @ [K, huge] shapes, which compile poorly).
-            if 2**(ka - s) >= 2**(kb - s):
+            if 2**(ka - s - nb) >= 2**(kb - s - nb):
                 left, right = a, b
                 el, er = ea, eb
             else:
@@ -197,8 +247,8 @@ class SlicedContractor:
             kl, kr = len(el), len(er)
             free_l = [i for i in el if i not in shared]
             free_r = [i for i in er if i not in shared]
-            tl = tuple(free_l) + tuple(shared)       # [free..., shared]
-            tr = tuple(shared) + tuple(free_r)       # [shared..., free]
+            tl = tuple(batch) + tuple(free_l) + tuple(summed)  # [B,M,K]
+            tr = tuple(batch) + tuple(summed) + tuple(free_r)  # [B,K,N]
 
             def shifts(ex, tx):
                 k = len(ex)
@@ -210,11 +260,11 @@ class SlicedContractor:
             gr = tr != tuple(er)
             sched.append({
                 'v': v, 'left': left, 'right': right,
-                'key': (kl, kr, s, gl, gr),
+                'key': (kl, kr, s, nb, gl, gr),
                 'shl': shifts(el, tl) if gl else None,
                 'shr': shifts(er, tr) if gr else None,
             })
-            order[v] = tuple(free_l) + tuple(free_r)
+            order[v] = tuple(batch) + tuple(free_l) + tuple(free_r)
         root_order = order[plan.root]
         out_shift = None
         if tuple(root_order) != tuple(self.output_order):
@@ -226,16 +276,19 @@ class SlicedContractor:
         return sched, out_shift
 
     @staticmethod
-    def _flat_step_prog(kl, kr, s, gl, gr, prec='highest'):
-        """Compiled flat contraction step for a shape class."""
+    def _flat_step_prog(kl, kr, s, nb, gl, gr, prec='highest'):
+        """Compiled flat contraction step for a shape class
+        (``nb`` batch bits carry hyperedge indices retained at the
+        parent: [B, M, K] @ [B, K, N])."""
         import jax
         import jax.numpy as jnp
 
-        key = ('flatstep', kl, kr, s, gl, gr, prec)
+        key = ('flatstep', kl, kr, s, nb, gl, gr, prec)
         fn = _FLAT_PROG_CACHE.get(key)
         if fn is not None:
             return fn
-        M, K, N = 2**(kl - s), 2**s, 2**(kr - s)
+        B = 2**nb
+        M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
         precision = _resolve_precision(prec)
 
         def gather(x_re, x_im, k, sh):
@@ -250,14 +303,18 @@ class SlicedContractor:
                 lr, li = gather(lr, li, kl, shl)
             if gr:
                 rr, ri = gather(rr, ri, kr, shr)
-            Ar = lr.reshape(M, K)
-            Ai = li.reshape(M, K)
-            Br = rr.reshape(K, N)
-            Bi = ri.reshape(K, N)
-            cr = jnp.matmul(Ar, Br, precision=precision) - \
-                jnp.matmul(Ai, Bi, precision=precision)
-            ci = jnp.matmul(Ar, Bi, precision=precision) + \
-                jnp.matmul(Ai, Br, precision=precision)
+            Ar = lr.reshape(B, M, K)
+            Ai = li.reshape(B, M, K)
+            Br = rr.reshape(B, K, N)
+            Bi = ri.reshape(B, K, N)
+
+            def mm(x, y):
+                return jax.lax.dot_general(
+                    x, y, (((2,), (1,)), ((0,), (0,))),
+                    precision=precision)
+
+            cr = mm(Ar, Br) - mm(Ai, Bi)
+            ci = mm(Ar, Bi) + mm(Ai, Br)
             return cr.reshape(-1), ci.reshape(-1)
 
         fn = jax.jit(f)
@@ -285,7 +342,7 @@ class SlicedContractor:
         t0 = _t.time()
 
         def one(key):
-            kl, kr, s, gl, gr = key
+            kl, kr, s, nb, gl, gr = key
             fn = self._flat_step_prog(*key, prec=prec)
             f32 = jnp.float32
             i32 = jnp.int32
@@ -407,15 +464,11 @@ class SlicedContractor:
                     re = jnp.take(re, bit, axis=pos)
                     im = jnp.take(im, bit, axis=pos)
                 vals[v] = (re, im)
-            for v, a, b, a_axes, b_axes in plan.steps:
+            for v, a, b, a_axes, b_axes, spec in plan.steps:
                 ar, ai = vals.pop(a)
                 br, bi = vals.pop(b)
-                axes = (a_axes, b_axes)
-                rr = jnp.tensordot(ar, br, axes=axes, precision=precision)
-                ii = jnp.tensordot(ai, bi, axes=axes, precision=precision)
-                ri = jnp.tensordot(ar, bi, axes=axes, precision=precision)
-                ir = jnp.tensordot(ai, br, axes=axes, precision=precision)
-                vals[v] = (rr - ii, ri + ir)
+                vals[v] = _pair_contract_jnp(ar, ai, br, bi, a_axes,
+                                             b_axes, spec, precision)
             re, im = vals[plan.root]
             if self.perm and self.perm != tuple(range(len(self.perm))):
                 re = jnp.transpose(re, self.perm)
@@ -456,19 +509,11 @@ class SlicedContractor:
         def make_segment(seg, is_last):
             def run(vals):
                 vals = dict(vals)
-                for v, a, b, a_axes, b_axes in seg:
+                for v, a, b, a_axes, b_axes, spec in seg:
                     ar, ai = vals.pop(a)
                     br, bi = vals.pop(b)
-                    axes = (a_axes, b_axes)
-                    rr = jnp.tensordot(ar, br, axes=axes,
-                                       precision=precision)
-                    ii = jnp.tensordot(ai, bi, axes=axes,
-                                       precision=precision)
-                    ri = jnp.tensordot(ar, bi, axes=axes,
-                                       precision=precision)
-                    ir = jnp.tensordot(ai, br, axes=axes,
-                                       precision=precision)
-                    vals[v] = (rr - ii, ri + ir)
+                    vals[v] = _pair_contract_jnp(ar, ai, br, bi, a_axes,
+                                                 b_axes, spec, precision)
                 if is_last:
                     re, im = vals[plan.root]
                     if self.perm and self.perm != tuple(

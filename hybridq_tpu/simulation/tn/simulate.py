@@ -74,7 +74,12 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                 "'max_largest_intermediate'.")
 
         # Compress into 2-qubit blocks (reference default for TN).
-        compress = kwargs.get('compress', 2)
+        # ``simplify_tn='full'`` skips compression: merging 1-qubit
+        # gates into their couplers destroys exactly the diagonal /
+        # crossed-wire structure the hyperedge simplification extracts
+        # (FSIM(θ=π/2) → one 2×2 tensor, CZ → phase hyperedge).
+        compress = 0 if kwargs['simplify_tn'] == 'full' else \
+            kwargs.get('compress', 2)
         if compress:
             max_k = compress['max_n_qubits'] if isinstance(
                 compress, dict) else compress
@@ -89,7 +94,7 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
 
         net, output_order = build_tn(circuit, initial_state, final_state,
                                      complex_type=complex_type,
-                                     simplify=bool(kwargs['simplify_tn']))
+                                     simplify=kwargs['simplify_tn'])
 
         # Path search (host CPU combinatorics).
         t0 = time.time()
@@ -129,13 +134,20 @@ def simulate_tn(circuit, initial_state, final_state, optimize, backend,
                 "When passing a TensorNetwork, 'optimize' must be the "
                 "(PathInfo, tree) pair returned by tensor_only=True, or "
                 "a (PathInfo, ContractionPlan) pair (pre-sliced).")
-        outer = net.outer_inds
-        from hybridq_tpu.utils import sort
-        i_inds = sort([x for x in outer if x.endswith('_i')],
-                      key=lambda x: int(x.split('_')[-2]))
-        f_inds = sort([x for x in outer if x.endswith('_f')],
-                      key=lambda x: int(x.split('_')[-2]))
-        output_order = i_inds + f_inds
+        # The tree records the open legs in build order (count-based
+        # outer-index detection breaks once hyperedges exist).
+        try:
+            output_order = list(
+                (tree if not isinstance(tree, ContractionPlan)
+                 else tree.tree).output)
+        except (TypeError, ValueError, AttributeError):
+            from hybridq_tpu.utils import sort
+            outer = net.outer_inds
+            i_inds = sort([x for x in outer if x.endswith('_i')],
+                          key=lambda x: int(x.split('_')[-2]))
+            f_inds = sort([x for x in outer if x.endswith('_f')],
+                          key=lambda x: int(x.split('_')[-2]))
+            output_order = i_inds + f_inds
         if not isinstance(tree, ContractionPlan):
             # Slice-aware reconfiguration mutates the tree; never mutate
             # a user-held plan (repeated calls must see their own fresh

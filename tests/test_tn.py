@@ -143,6 +143,90 @@ def test_tn_trace_letters():
         atol=ATOL)
 
 
+def _fsim_layered(n, depth, seed=0):
+    """Supremacy-style mini workload: random 1q sqrt gates + diagonal
+    couplers (FSIM(pi/2, phi) / CZ / CPHASE) — the gates the hyperedge
+    simplification factorizes."""
+    rng = np.random.default_rng(seed)
+    one_qb = ['SQRT_X', 'SQRT_Y', 'T', 'H']
+    c = Circuit()
+    for d in range(depth):
+        for q in range(n):
+            c.append(Gate(str(rng.choice(one_qb)), [q]))
+        for q in range(d % 2, n - 1, 2):
+            r = rng.random()
+            if r < 0.4:
+                c.append(Gate('FSIM', [q, q + 1],
+                              params=[np.pi / 2, np.pi / 6]))
+            elif r < 0.7:
+                c.append(Gate('CZ', [q, q + 1]))
+            else:
+                c.append(Gate('CPHASE', [q, q + 1],
+                              params=[float(rng.random())]))
+    return c
+
+
+def test_tn_full_simplify_hyperedges():
+    """simplify_tn='full' (diagonal reduction -> hyperedge indices)
+    reproduces the dense evolution on all backends."""
+    n = 6
+    c = _fsim_layered(n, 6)
+    psi = _evolution(c)
+    got = simulate(c, initial_state='0', final_state='.', optimize='tn',
+                   backend='numpy', simplify_tn='full')
+    np.testing.assert_allclose(np.asarray(got), psi, atol=ATOL)
+    got2 = simulate(c, initial_state='0', final_state='.', optimize='tn',
+                    backend='jax', simplify_tn='full')
+    np.testing.assert_allclose(np.asarray(got2), psi, atol=ATOL)
+
+
+def test_tn_full_simplify_sliced():
+    """Hyperedge slicing: force slices through a hyperedge-bearing
+    network; every backend (numpy / batched flat executor) agrees."""
+    n = 6
+    c = _fsim_layered(n, 8, seed=3)
+    psi = _evolution(c)
+    for backend in ('numpy', 'jax'):
+        out, info = simulate(c, initial_state='0', final_state='0' * n,
+                             optimize='tn', backend=backend,
+                             simplify_tn='full',
+                             max_largest_intermediate=2**3,
+                             return_info=True)
+        assert info['n_slices'] > 1
+        np.testing.assert_allclose(complex(np.asarray(out)),
+                                   psi[(0,) * n], atol=ATOL)
+
+
+def test_diagonal_reduce_fsim():
+    """FSIM(pi/2, phi) factorizes to a single 2x2 tensor on crossed
+    wires; CZ to a phase hyperedge tensor."""
+    from hybridq_tpu.simulation.tn.network import Tensor, TensorNetwork
+
+    U = Gate('FSIM', params=[np.pi / 2, np.pi / 6]).matrix()
+    t = Tensor(np.reshape(U, (2, 2, 2, 2)), ('ao', 'bo', 'ai', 'bi'))
+    net = TensorNetwork([
+        t,
+        Tensor(np.eye(2), ('ai', 'x')), Tensor(np.eye(2), ('bi', 'y')),
+        Tensor(np.eye(2), ('z', 'ao')), Tensor(np.eye(2), ('w', 'bo'))])
+    net.diagonal_reduce()
+    # The coupler collapses to ONE rank-2 tensor p on crossed wires
+    # (U[z,w,x,y] = p(z,w) δ(z,y) δ(w,x)): the input wires merged into
+    # the output names (x≡w, y≡z hyperedges), identities to vectors.
+    coupler = [tt for tt in net.tensors if tt.rank == 2]
+    assert len(coupler) == 1
+    p = coupler[0]
+    assert set(p.inds) == {'z', 'w'}
+    for tt in net.tensors:
+        if tt.rank == 1:
+            np.testing.assert_allclose(tt.data, np.ones(2), atol=1e-12)
+    pzw = p.data if p.inds == ('z', 'w') else p.data.T
+    dense = np.zeros((2, 2, 2, 2), dtype=complex)
+    for z in range(2):
+        for w in range(2):
+            dense[z, w, w, z] = pzw[z, w]
+    np.testing.assert_allclose(dense.reshape(4, 4), U, atol=1e-12)
+
+
 def test_tn_return_info():
     c = get_rqc(4, 10)
     out, info = simulate(c, initial_state='0', final_state='.',
