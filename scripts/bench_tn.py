@@ -87,6 +87,11 @@ def main():
                     help='search + cache the plan, skip contraction')
     args = ap.parse_args()
 
+    if args.plan_only:
+        # Plan search is host-only: never claim the (single-process)
+        # TPU — enable_persistent_cache() queries the default backend.
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     from hybridq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
