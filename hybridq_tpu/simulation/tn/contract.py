@@ -144,6 +144,10 @@ class SlicedContractor:
         # 'highest' forces true-f32 MXU passes (matching the reference's
         # numpy/quimb complex64 arithmetic); 'default' opts into bf16.
         self.matmul_precision = str(matmul_precision)
+        # Slices per dispatch of the scanned flat executor (the
+        # program is compiled once at this chunk length and reused for
+        # every range, sentinel-padded).
+        self.scan_chunk = 256
         self.plan = plan
         self.output_order = tuple(output_order)
         self.perm = plan.output_perm(output_order)
@@ -383,8 +387,190 @@ class SlicedContractor:
             vals[v] = (re.reshape(-1), im.reshape(-1))
         return vals
 
-    def contract_jax_flat(self, slice_range=None, verbose: bool = False):
-        """Flat-executor slice sum (see the class comment above)."""
+    def _leaf_gather_meta(self):
+        """Host metadata for in-jit leaf slicing: per leaf, the flat
+        gather base (full-tensor flat indices of the slice-bits-all-zero
+        sub-tensor) plus ``(slice_bit, stride)`` terms so the effective
+        leaf for slice ``sid`` is ``flat[base + sum(bit_j(sid)*s_j)]``
+        — a traced-``sid``-friendly reformulation of the per-axis
+        ``take`` in ``_flat_leaves``."""
+        meta = []
+        for v in range(self.plan.tree.n_leaves):
+            d = self.datas[v]
+            entries = sorted(self.plan.leaf_slices[v])
+            idx_full = np.arange(d.size, dtype=np.int64).reshape(d.shape)
+            sl_pos = [p for p, _ in entries]
+            sel = tuple(0 if a in sl_pos else slice(None)
+                        for a in range(d.ndim))
+            base = idx_full[sel].reshape(-1).astype(np.int32)
+            terms = []
+            for pos, j in entries:
+                stride = int(np.prod(d.shape[pos + 1:], dtype=np.int64))
+                terms.append((int(j), stride))
+            meta.append((base, tuple(terms)))
+        return meta
+
+    def contract_jax_flat_scan(self, slice_range=None,
+                               verbose: bool = False):
+        """ONE compiled program for the whole slice range: ``lax.scan``
+        over slice ids with the full flat step chain inlined in the
+        body.
+
+        The per-step-dispatch flat executor pays one host->device
+        program dispatch per step per slice; on this platform a
+        dispatch round-trips a tunnel at ~0.3 s, so a 234-step slice
+        costs ~75 s of pure overhead (measured, Sycamore-53 depth-12)
+        while the actual compute is milliseconds.  Fusing the chain
+        into a single scanned program removes the dispatch term
+        entirely — the analog of the reference driving its whole slice
+        range from one MPI rank loop (``simulation_mpi.py:459-479``)
+        rather than one RPC per tensordot.
+
+        Gather shift tables are passed as runtime arguments (not
+        closure constants) so XLA cannot constant-fold the 2^k index
+        vectors into the executable."""
+        import sys
+        import time as _t
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        start, stop = slice_range or (0, self.nslices)
+        out_shape = [self.plan.tree.size_dict[i]
+                     for i in self.output_order]
+        if stop <= start:
+            return np.zeros(out_shape, dtype=self.complex_type)
+
+        sched, out_shift = self._flat_schedule()
+        precision = _resolve_precision(self.matmul_precision)
+        n_leaves = self.plan.tree.n_leaves
+        leaf_meta = self._leaf_gather_meta()
+
+        # Runtime inputs: flat leaf pairs + the distinct shift tables.
+        leaves = [(jnp.asarray(d.real.reshape(-1).astype(
+            self.float_type)),
+            jnp.asarray(d.imag.reshape(-1).astype(self.float_type)))
+            for d in self.datas]
+        shift_keys = []
+        shift_vals = []
+        for st in sched:
+            for key in ('shl', 'shr'):
+                if st[key] is not None:
+                    t = tuple(st[key])
+                    if t not in shift_keys:
+                        shift_keys.append(t)
+                        shift_vals.append(jnp.asarray(st[key]))
+        shift_of = {t: i for i, t in enumerate(shift_keys)}
+
+        def gather(x_re, x_im, k, sh):
+            i = jnp.arange(2**k, dtype=jnp.int32)
+            idx = jnp.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+
+        def one_slice(sid, leaves, shifts):
+            vals = {}
+            for v in range(n_leaves):
+                re, im = leaves[v]
+                base, terms = leaf_meta[v]
+                if terms:
+                    idx = jnp.asarray(base)
+                    for j, stride in terms:
+                        idx = idx + ((sid >> j) & 1) * stride
+                    re, im = jnp.take(re, idx), jnp.take(im, idx)
+                vals[v] = (re, im)
+            for st in sched:
+                kl, kr, s, nb, gl, gr = st['key']
+                lr, li = vals.pop(st['left'])
+                rr, ri = vals.pop(st['right'])
+                if gl:
+                    lr, li = gather(lr, li, kl,
+                                    shifts[shift_of[tuple(st['shl'])]])
+                if gr:
+                    rr, ri = gather(rr, ri, kr,
+                                    shifts[shift_of[tuple(st['shr'])]])
+                B = 2**nb
+                M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
+                Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+                Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
+
+                def mm(x, y):
+                    return lax.dot_general(
+                        x, y, (((2,), (1,)), ((0,), (0,))),
+                        precision=precision)
+
+                cr = mm(Ar, Br) - mm(Ai, Bi)
+                ci = mm(Ar, Bi) + mm(Ai, Br)
+                vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+            return vals[self.plan.root]
+
+        def run(ids, leaves, shifts):
+            size = int(np.prod(out_shape, dtype=np.int64)) or 1
+            acc0 = (jnp.zeros((size,), self.float_type),
+                    jnp.zeros((size,), self.float_type))
+
+            def body(acc, sid):
+                # Sentinel ids (< 0) pad the last chunk: weight 0.
+                w = (sid >= 0).astype(self.float_type)
+                re, im = one_slice(jnp.maximum(sid, 0), leaves, shifts)
+                return (acc[0] + w * re, acc[1] + w * im), None
+
+            (re, im), _ = lax.scan(body, acc0, ids)
+            if out_shift is not None:
+                k = len(self.output_order)
+                i = jnp.arange(2**k, dtype=jnp.int32)
+                idx = jnp.zeros_like(i)
+                for j in range(k):
+                    idx = idx | (((i >> (k - 1 - j)) & 1) <<
+                                 int(out_shift[j]))
+                re, im = jnp.take(re, idx), jnp.take(im, idx)
+            return re, im
+
+        # One compiled program per plan at a FIXED chunk length serves
+        # every slice range (sentinel-padded) — ranges of different
+        # sizes must not recompile a minutes-long program.
+        count = stop - start
+        C = min(self.scan_chunk, count) if count < self.scan_chunk \
+            else self.scan_chunk
+        key = ('flatscan', id(self.plan), self.matmul_precision, C)
+        fn = _FLAT_PROG_CACHE.get(key)
+        if fn is None:
+            t0 = _t.time()
+            ids_s = jax.ShapeDtypeStruct((C,), jnp.int32)
+            lv = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (leaves, shift_vals))
+            fn = jax.jit(run).lower(ids_s, *lv).compile()
+            _FLAT_PROG_CACHE[key] = fn
+            if verbose:
+                print(f"# flat-scan executor: compiled "
+                      f"{len(sched)}-step chunk-{C} program in "
+                      f"{_t.time()-t0:.1f}s", file=sys.stderr,
+                      flush=True)
+
+        acc = None
+        for lo in range(start, stop, C):
+            ids_np = np.full(C, -1, dtype=np.int32)
+            m = min(C, stop - lo)
+            ids_np[:m] = np.arange(lo, lo + m, dtype=np.int32)
+            re, im = fn(jnp.asarray(ids_np), leaves, shift_vals)
+            acc = (re, im) if acc is None else (acc[0] + re,
+                                                acc[1] + im)
+        out = np.asarray(acc[0]).astype(self.complex_type)
+        out += 1j * np.asarray(acc[1]).astype(self.float_type)
+        return out.reshape(out_shape)
+
+    def contract_jax_flat(self, slice_range=None, verbose: bool = False,
+                          scan: bool = True):
+        """Flat-executor slice sum (see the class comment above).
+
+        ``scan=True`` (default) runs the single-program scanned variant
+        — one dispatch for the whole range; the per-step-dispatch loop
+        below remains as the fallback when the scanned program fails to
+        compile (the shared remote compile service intermittently
+        500s)."""
         import sys
         import time as _t
 
@@ -395,6 +581,15 @@ class SlicedContractor:
             return np.zeros([self.plan.tree.size_dict[i]
                              for i in self.output_order],
                             dtype=self.complex_type)
+        if scan:
+            try:
+                return self.contract_jax_flat_scan(
+                    slice_range=slice_range, verbose=verbose)
+            except Exception as e:
+                print(f"# flat-scan failed "
+                      f"({type(e).__name__}: {str(e)[:120]}); "
+                      "falling back to per-step dispatch",
+                      file=sys.stderr, flush=True)
         sched, out_shift = self._flat_schedule()
         shl_dev = {}
         for st in sched:
