@@ -43,6 +43,83 @@ def _workload(n, k, n_gates, rng, min_bit=0):
     return gates
 
 
+def bench_tpu_fused(n, k=4, n_gates=24, seed=0, reps=3,
+                    parity_samples=16):
+    """Fused Pallas engine throughput + reference-parity samples.
+
+    Returns ``(gates_per_s, compile_s, amps)`` where ``amps`` maps
+    ``parity_samples`` random flat indices to the complex amplitude
+    after ONE pass of the gate list from |0...0> (compared against the
+    reference C++ core running the identical workload on the host).
+
+    Gate positions avoid the reference's SIMD pack bits (min_bit=3,
+    ``simulation.py:556-630``) so both sides share one workload."""
+    from hybridq_tpu.simulation.fused_evolver import (FusedEvolver,
+                                                      calibrate_fused,
+                                                      pair_fused_gates)
+
+    rng = np.random.default_rng(seed)
+    gates = _workload(n, k, n_gates, rng, min_bit=3)
+    blocks = pair_fused_gates(gates, n)
+    sys.stderr.write(f"# fused-paired {n_gates} gates -> "
+                     f"{len(blocks)} blocks "
+                     f"(sizes {sorted(len(q) for _, q in blocks)})\n")
+    ev = FusedEvolver(n)
+
+    t0 = time.perf_counter()
+    ev.warm(verbose=True)
+    compile_s = time.perf_counter() - t0
+
+    def run_pass(state):
+        for i, (U, qs) in enumerate(blocks):
+            state = ev.apply_gate(state, np.asarray(U), tuple(qs),
+                                  gate_key=i)
+        return state
+
+    # Parity pass: ONE application from |0>, sampled amplitudes.
+    state = ev.prepare_state('0' * n)
+    state = run_pass(state)
+    state = ev.flush(state)
+    idx = np.random.default_rng(seed + 1).choice(2**n, parity_samples,
+                                                 replace=False)
+    amps = {}
+    flat = 2**n
+    for i in idx:
+        i = int(i)
+        r, c = divmod(i, 128)
+        ri, ci = divmod(i + flat, 128)
+        re = float(np.asarray(state[r:r + 1, c:c + 1])[0, 0])
+        im = float(np.asarray(state[ri:ri + 1, ci:ci + 1])[0, 0])
+        amps[i] = complex(re, im)
+
+    # Throughput: warm passes until the slot-map orbit REPEATS a
+    # pass-boundary state (victim policy is map-pure, so it must) —
+    # from then on every (gate, map) prep is memoized on device and
+    # the timed loop is pure chained dispatches (any host work between
+    # dispatches stalls the async pipeline for ~0.3 s tunnel RTTs).
+    seen = {tuple(ev.phys)}
+    for _ in range(12):
+        state = run_pass(state)
+        key = tuple(ev.phys)
+        if key in seen:
+            break
+        seen.add(key)
+    _ = float(np.asarray(state[:1, :1])[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = run_pass(state)
+    _ = float(np.asarray(state[:1, :1])[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+
+    del state    # free 4 GB before calibrate allocates its own state
+    try:
+        calibrate_fused(ev, verbose=True)
+    except Exception as e:
+        sys.stderr.write(f"# fused calibrate failed: "
+                         f"{type(e).__name__}: {str(e)[:160]}\n")
+    return n_gates / dt, compile_s, amps
+
+
 def bench_tpu(n, k=4, n_gates=24, seed=0, reps=3, precision='highest'):
     """Indexed-engine throughput: returns (gates/s, compile_s).
 
@@ -129,10 +206,17 @@ def _build_reference_core():
         return None
 
 
-def bench_reference_cpp(n, k=4, n_gates=8, seed=0, reps=3):
-    """Reference HybridQ C++ core on this host's CPU (same workload);
-    gate positions avoid the SIMD-packed bits as the reference requires
-    (``simulation.py:556-630``)."""
+def bench_reference_cpp(n, k=4, n_gates=24, seed=0, reps=3,
+                        parity_samples=16):
+    """Reference HybridQ C++ core on this host's CPU (same workload as
+    ``bench_tpu_fused``: identical gates on identical qubits); gate
+    positions avoid the SIMD-packed bits as the reference requires
+    (``simulation.py:556-630``).
+
+    Returns ``(gates_per_s, amps)`` with ``amps`` the sampled
+    amplitudes after ONE pass from |0...0> (the parity contract;
+    convention determined empirically: ``pos`` are flat bit indices
+    listed LSB-first w.r.t. the gate matrix)."""
     lib = _build_reference_core()
     if lib is None:
         return None
@@ -160,24 +244,31 @@ def bench_reference_cpp(n, k=4, n_gates=8, seed=0, reps=3):
     def run_once():
         for U, qs in gates:
             Uc = np.ascontiguousarray(U, dtype='complex64')
-            pos = np.asarray([pack + q for q in qs], dtype='uint32')
+            pos = np.asarray([n - 1 - q for q in reversed(qs)],
+                             dtype='uint32')
             r = apply_U(re.ctypes.data_as(fptr), im.ctypes.data_as(fptr),
                         Uc.ctypes.data_as(fptr), pos.ctypes.data_as(uptr),
                         n, len(pos))
             if r != 0:
                 raise RuntimeError('reference core error')
 
-    run_once()  # warm-up
+    run_once()  # warm-up = the parity pass
+    idx = np.random.default_rng(seed + 1).choice(2**n, parity_samples,
+                                                 replace=False)
+    amps = {int(i): complex(float(re[i]), float(im[i])) for i in idx}
     t0 = time.perf_counter()
     for _ in range(reps):
         run_once()
     dt = (time.perf_counter() - t0) / reps
-    return n_gates / dt
+    return n_gates / dt, amps
 
 
-def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
-    """Largest n whose split-f32 state plus gather/scatter working set
-    fits in HBM (~6 state-size buffers peak)."""
+def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30,
+                            bytes_per_amp=24):
+    """Largest n whose split-f32 state plus working set fits in HBM
+    (24 B/amp for the XLA gather engine's ~6 buffers; 16 B/amp for
+    the in-place fused engine, whose only state-sized transients are
+    the prepare/flush copies)."""
     import jax
     hbm = None
     try:
@@ -187,7 +278,7 @@ def _max_qubits_single_chip(default_hbm_bytes=16 * 2**30):
     except Exception:
         pass
     hbm = hbm or default_hbm_bytes
-    return int(np.floor(np.log2(0.9 * hbm / 24)))
+    return int(np.floor(np.log2(0.9 * hbm / bytes_per_amp)))
 
 
 def main():
@@ -199,9 +290,10 @@ def main():
     from hybridq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    # One common size for both sides: the shared XLA compile service has
-    # multi-minute, high-variance latency, so avoid extra program sizes.
-    n = min(28, _max_qubits_single_chip())
+    # Largest single-chip size (29q on a 16 GB part: the fused engine
+    # keeps ~8 B/amp resident + transient copies; the old XLA engine's
+    # 24 B/amp gather working set capped it at 28).
+    n = min(29, _max_qubits_single_chip(bytes_per_amp=16))
 
     # The reference C++ baseline runs on the host CPU concurrently with
     # the TPU compile/measure (the host is idle while the remote compile
@@ -217,29 +309,41 @@ def main():
     ref_thread = threading.Thread(target=_ref, daemon=True)
     ref_thread.start()
 
-    value = None
+    value = amps = None
     try:
-        value, compile_s = bench_tpu(n)
-        sys.stderr.write(f"# {n}q TPU (precision=highest, true f32): "
+        value, compile_s, amps = bench_tpu_fused(n)
+        sys.stderr.write(f"# {n}q TPU fused engine (true f32): "
                          f"{value:.2f} gates/s (compile {compile_s:.0f}s)"
                          "\n")
     except Exception as e:
-        sys.stderr.write(f"# {n}q failed: {type(e).__name__}: "
-                         f"{str(e)[:120]}\n")
+        sys.stderr.write(f"# {n}q fused failed: {type(e).__name__}: "
+                         f"{str(e)[:200]}\n")
     if value is None:
         print(json.dumps({"metric": "gate_applications_per_s_per_chip",
                           "value": 0.0, "unit": "fused-4q-gates/s",
                           "vs_baseline": None}), flush=True)
         return
 
+    # Reference C++ baseline + the 1e-6-grade parity check the round-3
+    # review called for (both engines ran the identical workload).
     vs = None
-    ref_thread.join(timeout=240)
+    ref_thread.join(timeout=600)
     ref = ref_out.get('v')
     if ref:
-        vs = value / ref
+        ref_rate, ref_amps = ref
+        vs = value / ref_rate
         sys.stderr.write(
-            f"# {n}q reference C++ on host CPU: {ref:.2f} gates/s "
+            f"# {n}q reference C++ on host CPU: {ref_rate:.2f} gates/s "
             f"({os.cpu_count()} cores) -> {vs:.1f}x\n")
+        rms = 2.0 ** (-n / 2)     # amplitude scale of an RQC state
+        max_err = max(abs(amps[i] - ref_amps[i]) for i in amps) / rms
+        parity_ok = bool(max_err < 5e-3)
+        sys.stderr.write(
+            f"# parity vs reference core: {len(amps)} sampled "
+            f"amplitudes, max |d|/rms = {max_err:.2e} -> "
+            f"{'OK' if parity_ok else 'MISMATCH'}\n")
+    else:
+        parity_ok = None
 
     # THE one JSON line the driver records — printed before any
     # optional extras below.
@@ -250,17 +354,26 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
     }), flush=True)
 
+    # Echo the recorded TN north-star artifact (written by
+    # scripts/bench_tn.py) so it lands in the BENCH tail.
+    tn_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'scripts', '_plan_cache', 'tn_results.json')
+    try:
+        with open(tn_art) as f:
+            for line in f:
+                sys.stderr.write(f"# TN: {line.strip()}\n")
+    except OSError:
+        pass
+
     # Optional secondary (stderr only, off by default — it doubles TPU
-    # time): the bf16-matmul variant users may opt into with
-    # precision='default'.  NOT the headline number — its ~1e-2 error
-    # does not match the reference's f32 arithmetic.
-    if os.environ.get('HYBRIDQ_TPU_BENCH_BF16'):
+    # time): the round-3 XLA indexed engine for comparison.
+    if os.environ.get('HYBRIDQ_TPU_BENCH_XLA'):
         try:
-            fast, _ = bench_tpu(n, precision='default')
-            sys.stderr.write(f"# {n}q TPU (precision=default, bf16 "
-                             f"matmuls, ~1e-2 err): {fast:.2f} gates/s\n")
+            xla, _ = bench_tpu(min(n, 28))
+            sys.stderr.write(f"# {min(n, 28)}q XLA indexed engine: "
+                             f"{xla:.2f} gates/s\n")
         except Exception as e:
-            sys.stderr.write(f"# bf16 variant failed: "
+            sys.stderr.write(f"# XLA variant failed: "
                              f"{type(e).__name__}\n")
 
 

@@ -86,21 +86,30 @@ class FusedEvolver:
         self._use = [0] * self.n          # logical bit -> last use
         self._prep_cache: dict = {}       # (gate_key, map_key) -> prep
         self._rowmap_cache: dict = {}
+        # Step classes executed by apply_gate (appended per kernel /
+        # row-permute invocation): the scheduler mirror
+        # (``simulate_route``) is tested against this trace.
+        self.last_steps: list = []
 
     # -- layout helpers ------------------------------------------------
     def _map_key(self):
         return tuple(self.phys)
 
     def _victims(self, k: int, exclude) -> list:
-        """``k`` coldest logical bits on high slots (>= 12), excluded
-        bits skipped; returns their PHYSICAL slots."""
+        """``k`` victim bits on high slots (>= 12), excluded bits
+        skipped; returns their PHYSICAL slots.  Selection is a PURE
+        function of the slot map (lowest slot first): with a
+        deterministic policy a repeated gate schedule drives the map
+        into a short orbit, so the per-(gate, map) prep memo reaches a
+        zero-host-work steady state — LRU ticks would make every pass
+        a new map state and a fresh W build + tunnel upload (measured
+        ~2 s/gate of host stalls vs ~30 ms of kernel)."""
         cands = sorted(
-            (b for b in range(self.n)
-             if self.phys[b] >= 12 and b not in exclude),
-            key=lambda b: self._use[b])
+            (self.phys[b] for b in range(self.n)
+             if self.phys[b] >= 12 and b not in exclude))
         if len(cands) < k:
             raise _NeedHighSlots(k - len(cands))
-        return [self.phys[b] for b in cands[:k]]
+        return cands[:k]
 
     def _free_high_slots(self, state, bits_log, count):
         """Small-n fallback: one row-permute parking ``count`` of the
@@ -151,6 +160,10 @@ class FusedEvolver:
 
         if k_l == 0:
             k_hi = fused_meta(n, phys_bits)[0]
+            if k_hi > _MAX_KE:
+                # park excess high bits on free sublane slots (same
+                # row-permute fallback as victim scarcity)
+                raise _NeedHighSlots(k_hi - _MAX_KE)
             W, h_offs, rest_mask = build_w(n, U, phys_bits)
             out = ('fused', (k_hi,),
                    (jnp.asarray(W), jnp.asarray(h_offs, i32),
@@ -159,14 +172,12 @@ class FusedEvolver:
             if k_l > _MAX_KL:
                 out = None     # caller splits with a pure-swap prepass
             else:
+                k_hi = sum(1 for b in phys_bits if b >= 12)
+                if k_hi + k_l > _MAX_KE:
+                    raise _NeedHighSlots(k_hi + k_l - _MAX_KE)
                 victims = self._victims(k_l, set(bits_log))
                 k_hi, _, h_offs, rest_mask, Ms = swap_meta(
                     n, phys_bits, victims)
-                if k_hi + k_l > _MAX_KE:
-                    raise NotImplementedError(
-                        f"gate class ke={k_hi + k_l} exceeds the "
-                        f"compiled limit {_MAX_KE}; let the scheduler "
-                        "split the block")
                 W = build_w_swap(n, U, phys_bits, victims)
                 out = ('swap', (k_hi + k_l, k_l),
                        (jnp.asarray(W), jnp.asarray(Ms),
@@ -206,14 +217,16 @@ class FusedEvolver:
                 # pure-swap prepass (identity gate), then retry.
                 state = self._evict_lanes(state, keep=set(bits_log))
             except _NeedHighSlots as e:
-                # small-n fallback: park gate high bits on sublanes
+                # park gate high bits on free sublane slots
                 state = self._free_high_slots(state, bits_log,
                                               e.missing)
+                self.last_steps.append(('park',))
         if prep is None:
             raise NotImplementedError("lane eviction failed")
         kind, cls, dev_args, relabel = prep
         fn = self._kernel(kind, cls)
         state = fn(state, *dev_args)
+        self.last_steps.append((kind,) + cls)
         if relabel is not None:
             self._apply_swap_relabel(*relabel)
         return state
@@ -249,6 +262,7 @@ class FusedEvolver:
             (self.phys[b] for b in keep if self.phys[b] < 7),
             reverse=True)[:_MAX_KL]
         victims = self._victims(len(lanes_to_move), keep)
+        self.last_steps.append(('evict', len(lanes_to_move)))
         return self._identity_swap(state, lanes_to_move, victims)
 
     def apply_gates(self, state, gates, qubit_index):
@@ -276,24 +290,34 @@ class FusedEvolver:
         import jax.numpy as jnp
 
         n = self.n
-        n_rows = 2 ** (n + 1 - 7)
-        rows = np.arange(n_rows, dtype=np.int64)
-        src = np.zeros_like(rows)
-        # stack (top row bit) stays.
-        src |= (rows >> (n - 7)) << (n - 7)
-        for b in range(n):
-            if self.phys[b] < 7:
-                if new_phys[b] != self.phys[b]:
-                    raise ValueError("lane slots cannot row-permute")
-                continue
-            src |= (((rows >> (new_phys[b] - 7)) & 1)
-                    << (self.phys[b] - 7))
+        # Device-cache the row gather index by (from, to) layout: the
+        # host build + upload is a 32 MB tunnel transfer per call at
+        # 29q (measured seconds); park transitions recur every orbit
+        # period, so steady state must hit this cache.
+        mkey = (tuple(self.phys), tuple(new_phys))
+        src_dev = self._rowmap_cache.get(mkey)
+        if src_dev is None:
+            n_rows = 2 ** (n + 1 - 7)
+            rows = np.arange(n_rows, dtype=np.int64)
+            src = np.zeros_like(rows)
+            # stack (top row bit) stays.
+            src |= (rows >> (n - 7)) << (n - 7)
+            for b in range(n):
+                if self.phys[b] < 7:
+                    if new_phys[b] != self.phys[b]:
+                        raise ValueError(
+                            "lane slots cannot row-permute")
+                    continue
+                src |= (((rows >> (new_phys[b] - 7)) & 1)
+                        << (self.phys[b] - 7))
+            src_dev = jnp.asarray(src.astype(np.int32))
+            self._rowmap_cache[mkey] = src_dev
         fn = self._rowmap_cache.get('take')
         if fn is None:
             fn = jax.jit(lambda st, m: jnp.take(st, m, axis=0),
                          donate_argnums=(0,))
             self._rowmap_cache['take'] = fn
-        state = fn(state, jnp.asarray(src.astype(np.int32)))
+        state = fn(state, src_dev)
         for b in range(n):
             self.phys[b] = new_phys[b]
             self.logi[new_phys[b]] = b
@@ -432,3 +456,337 @@ class FusedEvolver:
             print(f"# warmed {len(classes)} fused classes in "
                   f"{_t.time() - t0:.0f}s", file=_sys.stderr,
                   flush=True)
+
+
+# ---------------------------------------------------------------------
+# scheduler: routing mirror + fused-aware gate pairing
+# ---------------------------------------------------------------------
+#
+# The pairing scheduler needs per-gate costs that depend on the
+# EVOLVING slot map (a gate's class is set by where its bits live when
+# it runs).  ``MapSim`` replicates FusedEvolver's routing and layout
+# bookkeeping exactly — branch order, LRU victim choice, eviction and
+# parking fallbacks — and is asserted against the engine's recorded
+# ``last_steps`` trace (tests/test_fused_evolver.py).
+
+# Measured per-application costs (ms, 28q v5e, probe_fused_perf.py);
+# scaled by 2^(n-28) — every class is HBM/MXU bound linearly in state
+# size.  Refreshed per device kind by ``FusedEvolver.calibrate`` via
+# the shared calibration file.
+_FUSED_COST = {0: 9.7, 1: 9.8, 2: 15.4, 3: 23.6, 4: 39.9}
+_SWAP_COST = {(1, 1): 22.9, (2, 1): 23.7, (3, 1): 32.3, (4, 1): 47.0,
+              (2, 2): 36.7, (3, 2): 40.6, (4, 2): 55.0}
+_PARK_COST = 16.0        # one row-gather pass
+
+
+def _step_cost(step, n: int) -> float:
+    from hybridq_tpu.simulation.kernels import (_calibration,
+                                                _device_kind)
+
+    calib = _calibration()
+    kind = step[0]
+    if kind == 'park':
+        base, key = _PARK_COST, f"{_device_kind()}|fpark|0|0|0"
+    elif kind == 'evict':
+        kl = step[1]
+        base = _SWAP_COST.get((kl, kl), 40.0)
+        key = f"{_device_kind()}|fswap|{kl}|{kl}|{kl}"
+    elif kind == 'fused':
+        base = _FUSED_COST.get(step[1], 60.0)
+        key = f"{_device_kind()}|ffused|{step[1]}|{step[1]}|0"
+    else:  # swap
+        ke, kl = step[1], step[2]
+        base = _SWAP_COST.get((ke, kl), 70.0)
+        key = f"{_device_kind()}|fswap|{ke}|{ke}|{kl}"
+    meas = calib.get(key)
+    if meas is not None:
+        n_meas, ms = meas
+        return max(0.5, float(ms) * 2.0 ** (n - float(n_meas)))
+    return max(0.5, base * 2.0 ** (n - 28))
+
+
+class MapSim:
+    """Clonable mirror of FusedEvolver's slot map + routing."""
+
+    __slots__ = ('n', 'phys', 'logi', 'use', 'tick')
+
+    def __init__(self, n, phys=None, logi=None, use=None, tick=0):
+        self.n = n
+        self.phys = list(phys) if phys else list(range(n))
+        self.logi = list(logi) if logi else list(range(n))
+        self.use = list(use) if use else [0] * n
+        self.tick = tick
+
+    @classmethod
+    def of(cls, ev: 'FusedEvolver') -> 'MapSim':
+        return cls(ev.n, ev.phys, ev.logi, ev._use, ev._tick)
+
+    def clone(self) -> 'MapSim':
+        return MapSim(self.n, self.phys, self.logi, self.use,
+                      self.tick)
+
+    def _victims(self, k, exclude):
+        cands = sorted(
+            (self.phys[b] for b in range(self.n)
+             if self.phys[b] >= 12 and b not in exclude))
+        if len(cands) < k:
+            raise _NeedHighSlots(k - len(cands))
+        return cands[:k]
+
+    def _relabel(self, lane_slots, victim_slots):
+        pairs = sorted(zip(lane_slots, victim_slots), reverse=True)
+        for a, v in pairs:
+            la, lv = self.logi[a], self.logi[v]
+            self.phys[la], self.phys[lv] = v, a
+            self.logi[a], self.logi[v] = lv, la
+
+    def _park(self, bits_log, count):
+        gate_hi = [b for b in bits_log if self.phys[b] >= 12]
+        free_sub = [s for s in range(7, 12)
+                    if self.logi[s] not in bits_log]
+        if len(gate_hi) < count or len(free_sub) < count:
+            raise RuntimeError("cannot free high slots")
+        for b, s in zip(gate_hi[:count], free_sub[:count]):
+            other = self.logi[s]
+            pb = self.phys[b]
+            self.phys[b], self.phys[other] = s, pb
+            self.logi[s], self.logi[pb] = b, other
+
+    def route_gate(self, qubits) -> list:
+        """Mirror of ``FusedEvolver.apply_gate`` routing: mutates the
+        sim and returns the step-class list the engine would execute
+        (same tuples as ``FusedEvolver.last_steps``).  Raises on
+        impossible gates (the pairing scheduler treats that as an
+        illegal merge)."""
+        n = self.n
+        bits_log = [n - 1 - q for q in qubits]
+        self.tick += 1
+        for b in bits_log:
+            self.use[b] = self.tick
+        steps = []
+        for _ in range(6):
+            phys_bits = [self.phys[b] for b in bits_log]
+            lane = sorted((b for b in phys_bits if b < 7),
+                          reverse=True)
+            k_l = len(lane)
+            try:
+                if k_l == 0:
+                    k_hi = sum(1 for b in phys_bits if b >= 12)
+                    if k_hi > _MAX_KE:
+                        raise _NeedHighSlots(k_hi - _MAX_KE)
+                    steps.append(('fused', k_hi))
+                    return steps
+                if k_l <= _MAX_KL:
+                    k_hi = sum(1 for b in phys_bits if b >= 12)
+                    if k_hi + k_l > _MAX_KE:
+                        raise _NeedHighSlots(k_hi + k_l - _MAX_KE)
+                    victims = self._victims(k_l, set(bits_log))
+                    steps.append(('swap', k_hi + k_l, k_l))
+                    self._relabel(lane, victims)
+                    return steps
+                # eviction prepass
+                to_move = sorted(
+                    (self.phys[b] for b in bits_log
+                     if self.phys[b] < 7), reverse=True)[:_MAX_KL]
+                victims = self._victims(len(to_move), set(bits_log))
+                steps.append(('evict', len(to_move)))
+                self._relabel(to_move, victims)
+            except _NeedHighSlots as e:
+                self._park(bits_log, e.missing)
+                steps.append(('park',))
+        raise NotImplementedError("route did not settle")
+
+    def route_cost(self, qubits) -> float:
+        """Cost (ms) of applying a gate on ``qubits`` NOW, without
+        mutating this sim."""
+        sim = self.clone()
+        return sum(_step_cost(s, self.n) for s in sim.route_gate(
+            qubits))
+
+
+def pair_fused_gates(items, n: int, sim: MapSim = None,
+                     max_k: int = 8):
+    """Fuse gates into larger blocks when the fused kernel class is
+    cheaper (the FusedEvolver analog of ``pair_matrix_gates``,
+    tracking the evolving slot map).  ``items`` is a list of
+    ``(U, qs)`` with dense qubit indices; gates may jump over earlier
+    gates they commute with (disjoint supports).  Returns a new
+    ``(U, qs)`` list."""
+    from hybridq_tpu.simulation.kernels import _compose_matrix_gates
+
+    items = list(items)
+    sim = sim.clone() if sim is not None else MapSim(n)
+    used = [False] * len(items)
+    out = []
+    for i in range(len(items)):
+        if used[i]:
+            continue
+        used[i] = True
+        cur = [items[i]]
+        qs_set = set(items[i][1])
+        try:
+            cost = sim.route_cost(tuple(qs_set))
+        except (NotImplementedError, RuntimeError):
+            cost = 1e9
+        min_profit = 0.16 * _step_cost(('fused', 1), n)
+        while len(qs_set) < max_k:
+            blocked: set = set()
+            best_j, best_profit, best = None, min_profit, None
+            for j in range(i + 1, len(items)):
+                if used[j]:
+                    continue
+                qsj = set(items[j][1])
+                if qsj & blocked:
+                    blocked |= qsj
+                    continue
+                union = qs_set | qsj
+                if len(union) <= max_k:
+                    try:
+                        cu = sim.route_cost(tuple(union))
+                        cj = sim.route_cost(tuple(qsj))
+                    except (NotImplementedError, RuntimeError):
+                        blocked |= qsj
+                        continue
+                    profit = cost + cj - cu
+                    if profit > best_profit:
+                        best_j, best_profit = j, profit
+                        best = (union, cu)
+                blocked |= qsj
+            if best_j is None:
+                break
+            used[best_j] = True
+            cur.append(items[best_j])
+            qs_set, cost = best
+        if len(cur) == 1:
+            blk = cur[0]
+        else:
+            blk = _compose_matrix_gates(cur)
+        out.append(blk)
+        # advance the map exactly as apply_gate will
+        sim.route_gate(tuple(blk[1]))
+    return out
+
+
+def _calibrate_args(n, spec):
+    """Identity-gate concrete args for one fused class (device)."""
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    kind, cls = spec
+    if kind == 'fused':
+        k_hi = cls[0]
+        bits = tuple(range(n - 1, n - 1 - max(k_hi, 1), -1))[:k_hi] \
+            or (8,)
+        if k_hi == 0:
+            bits = (8,)
+        W, h_offs, rest_mask = build_w(n, np.eye(2 ** len(bits)), bits)
+        # pad W to the class size when k_hi drops the sublane count
+        K2 = 2 ** (k_hi + 1) * 32
+        assert W.shape == (K2, K2), (W.shape, K2)
+        return (jnp.asarray(W), jnp.asarray(h_offs, i32),
+                jnp.asarray([rest_mask], i32))
+    ke, kl = cls
+    k_hi = ke - kl
+    bits = tuple(range(6, 6 - kl, -1)) + \
+        tuple(range(n - 1, n - 1 - k_hi, -1))
+    victims = tuple(range(n - 1 - k_hi, n - 1 - k_hi - kl, -1))
+    _, _, h_offs, rest_mask, Ms = swap_meta(n, bits, victims)
+    W = build_w_swap(n, np.eye(2 ** len(bits)), bits, victims)
+    return (jnp.asarray(W), jnp.asarray(Ms), jnp.asarray(h_offs, i32),
+            jnp.asarray([rest_mask], i32))
+
+
+class _FusedCalibrator:
+    """Mixin-free helper: measure per-class costs on this device and
+    persist them for ``_step_cost`` (same calibration file as the XLA
+    engine, ``kernels._calibration``)."""
+
+    @staticmethod
+    def run(ev: FusedEvolver, reps: int = 4, save: bool = True,
+            verbose: bool = False) -> dict:
+        import sys as _sys
+        import time as _t
+
+        from hybridq_tpu.simulation.kernels import (_CALIB_FILE,
+                                                    _calibration,
+                                                    _device_kind)
+
+        n = ev.n
+        classes = ([('fused', (k,)) for k in range(_MAX_KE + 1)] +
+                   [('swap', (ke, kl))
+                    for kl in (1, 2)
+                    for ke in range(kl, _MAX_KE + 1)])
+
+        def _sync(st):
+            return float(np.asarray(st[:1, :1])[0, 0])
+
+        st = ev.prepare_state('0' * n)
+        _sync(st)
+        t0 = _t.perf_counter()
+        _sync(st)
+        _sync(st)
+        t_sync = (_t.perf_counter() - t0) / 2
+
+        out = {}
+        for spec in classes:
+            kind, cls = spec
+            try:
+                args = _calibrate_args(n, spec)
+                fn = ev._kernel(kind, cls)
+                st = fn(st, *args)
+                _sync(st)
+                t0 = _t.perf_counter()
+                for _ in range(reps):
+                    st = fn(st, *args)
+                _sync(st)
+            except Exception as e:
+                if verbose:
+                    print(f"# fused calibrate {spec} failed: "
+                          f"{type(e).__name__}", file=_sys.stderr,
+                          flush=True)
+                continue
+            ms = max((_t.perf_counter() - t0 - t_sync) / reps,
+                     1e-4) * 1e3
+            if kind == 'fused':
+                key = f"{_device_kind()}|ffused|{cls[0]}|{cls[0]}|0"
+            else:
+                ke, kl = cls
+                key = f"{_device_kind()}|fswap|{ke}|{ke}|{kl}"
+            out[key] = [n, round(ms, 3)]
+            if verbose:
+                print(f"# fused calibrate {spec}: {ms:.1f} ms",
+                      file=_sys.stderr, flush=True)
+        # park cost: the row-permute gather
+        try:
+            t0 = _t.perf_counter()
+            for _ in range(reps):
+                st = ev._row_permute(st, list(range(n)))
+            _sync(st)
+            ms = max((_t.perf_counter() - t0 - t_sync) / reps,
+                     1e-4) * 1e3
+            out[f"{_device_kind()}|fpark|0|0|0"] = [n, round(ms, 3)]
+        except Exception:
+            pass
+
+        if save and out:
+            import json
+            import os
+
+            _calibration()   # ensure file path resolved
+            from hybridq_tpu.simulation import kernels as _k
+
+            calib = dict(_calibration())
+            calib.update(out)
+            try:
+                with open(_k._CALIB_FILE, 'w') as f:
+                    json.dump(calib, f, indent=1, sort_keys=True)
+                _calibration().update(out)
+            except OSError:
+                pass
+        return out
+
+
+def calibrate_fused(ev: FusedEvolver, **kw) -> dict:
+    """Measure fused-class costs on this device kind and persist them
+    to the shared calibration JSON (consumed by ``_step_cost``)."""
+    return _FusedCalibrator.run(ev, **kw)

@@ -260,11 +260,13 @@ def fused_kernel(n: int, k_hi: int, interpret: bool = False,
             def _():
                 wait_all(osem, slot, sout)
 
-            w = w_ref[...]
             for i in range(R_blk):
                 xs = sin[slot, pl.ds(i * K2, K2), :]
+                # NB: w_ref[...] must stay INSIDE the dot — hoisting
+                # it materializes the full W into vregs, which fails
+                # to compile at K2 = 1024 (4 MB).
                 ys = jax.lax.dot_general(
-                    w, xs, (((1,), (0,)), ((), ())),
+                    w_ref[...], xs, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 sout[slot, pl.ds(i * K2, K2), :] = ys
@@ -518,7 +520,6 @@ def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
             def _():
                 wait_all(osem, slot, sout)
 
-            w = w_ref[...]
             for i in range(R_blk):
                 base = i * K2
                 if T == 1:
@@ -542,8 +543,9 @@ def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
                                 acc = d if acc is None else acc + d
                             ytmp[pl.ds((st * T + w2) * G, G), :] = acc
                     ys = ytmp[...]
+                # w_ref[...] inside the dot (see fused_kernel note)
                 out = jax.lax.dot_general(
-                    w, ys, (((1,), (0,)), ((), ())),
+                    w_ref[...], ys, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 sout[slot, pl.ds(base, K2), :] = out
@@ -711,17 +713,17 @@ def factored_kernel(n: int, k_hi: int, interpret: bool = False,
             def _():
                 wait_all(osem, slot, sout)
 
-            w = w_ref[...]
-            br = br_ref[...]
-            bi = bi_ref[...]
             for i in range(R_blk):
                 base = i * K2
                 x0 = sin[slot, pl.ds(base, G), :]
                 x1 = sin[slot, pl.ds(base + G, G), :]
-                ytmp[pl.ds(0, G), :] = dot(x0, br) - dot(x1, bi)
-                ytmp[pl.ds(G, G), :] = dot(x0, bi) + dot(x1, br)
+                ytmp[pl.ds(0, G), :] = (dot(x0, br_ref[...]) -
+                                        dot(x1, bi_ref[...]))
+                ytmp[pl.ds(G, G), :] = (dot(x0, bi_ref[...]) +
+                                        dot(x1, br_ref[...]))
+                # w_ref[...] inside the dot (see fused_kernel note)
                 out = jax.lax.dot_general(
-                    w, ytmp[...], (((1,), (0,)), ((), ())),
+                    w_ref[...], ytmp[...], (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 sout[slot, pl.ds(base, K2), :] = out

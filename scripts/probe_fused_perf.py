@@ -20,7 +20,7 @@ import jax.numpy as jnp  # noqa: E402
 from hybridq_tpu.simulation.pallas_fused import (  # noqa: E402
     build_w, fused_kernel, fused_meta)
 
-n = 28
+n = 29
 CASES = [
     ('k_hi=0 (4q sub)', (11, 10, 9, 8)),
     ('k_hi=1 (4q)', (27, 10, 9, 8)),

@@ -138,3 +138,56 @@ def test_prepare_state_and_norm():
     psi = ev.gather(st).reshape(-1)
     np.testing.assert_allclose(np.abs(psi),
                                np.full(2**n, 2**(-n / 2)), atol=1e-6)
+
+
+def test_mapsim_mirrors_engine(seed):
+    """MapSim.route_gate must predict exactly the step classes the
+    engine executes (the pairing scheduler steers by it)."""
+    from hybridq_tpu.simulation.fused_evolver import MapSim
+
+    n = 17
+    rng = np.random.default_rng(seed)
+    gates = []
+    for _ in range(12):
+        k = int(rng.integers(1, 5))
+        qs = tuple(int(q) for q in rng.choice(n, k, replace=False))
+        gates.append((_rand_u(k, rng), qs))
+
+    ev = FusedEvolver(n, interpret=True)
+    sim = MapSim.of(ev)
+    st = ev.prepare_state('0' * n)
+    for U, qs in gates:
+        want_steps = sim.route_gate(qs)
+        ev.last_steps = []
+        st = ev.apply_gate(st, U, qs)
+        assert ev.last_steps == want_steps, (qs, ev.last_steps,
+                                             want_steps)
+        assert sim.phys == ev.phys
+        assert sim.logi == ev.logi
+
+
+def test_pair_fused_gates(seed):
+    """Paired blocks evolve identically to the unpaired gate list."""
+    from hybridq_tpu.simulation.fused_evolver import pair_fused_gates
+
+    n = 16
+    rng = np.random.default_rng(seed)
+    gates = []
+    for _ in range(8):
+        k = int(rng.integers(1, 3))
+        qs = tuple(int(q) for q in rng.choice(n, k, replace=False))
+        gates.append((_rand_u(k, rng), qs))
+
+    blocks = pair_fused_gates(gates, n)
+    assert len(blocks) <= len(gates)
+
+    ev_a = FusedEvolver(n, interpret=True)
+    ev_b = FusedEvolver(n, interpret=True)
+    sa = ev_a.prepare_state('0' * n)
+    sb = ev_b.prepare_state('0' * n)
+    for U, qs in gates:
+        sa = ev_a.apply_gate(sa, U, qs)
+    for U, qs in blocks:
+        sb = ev_b.apply_gate(sb, np.asarray(U), tuple(qs))
+    np.testing.assert_allclose(ev_a.gather(sa).reshape(-1),
+                               ev_b.gather(sb).reshape(-1), atol=ATOL)
