@@ -137,14 +137,19 @@ def main():
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform}", file=sys.stderr)
-    t0 = time.time()
-    out = sc.contract_jax(slice_range=(0, 1), verbose=True)
-    compile_s = time.time() - t0
-    print(f"# first slice (incl. compile): {compile_s:.1f}s",
-          file=sys.stderr)
     k = args.sample
+    # One scan-chunk-sized program serves both the compile-timing call
+    # and the measurement (different range lengths would compile the
+    # minutes-long scanned program twice).
+    sc.scan_chunk = k
     t0 = time.time()
-    out = sc.contract_jax(slice_range=(1, 1 + k))
+    out = sc.contract_jax(slice_range=(0, k), verbose=True)
+    _ = complex(np.asarray(out).ravel()[0])
+    compile_s = time.time() - t0
+    print(f"# first chunk of {k} (incl. compile): {compile_s:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    out = sc.contract_jax(slice_range=(k, 2 * k))
     _ = complex(np.asarray(out).ravel()[0])  # forces readback
     tpu_s = (time.time() - t0) / k
     result.update({

@@ -191,3 +191,19 @@ def test_pair_fused_gates(seed):
         sb = ev_b.apply_gate(sb, np.asarray(U), tuple(qs))
     np.testing.assert_allclose(ev_a.gather(sa).reshape(-1),
                                ev_b.gather(sb).reshape(-1), atol=ATOL)
+
+
+def test_simulate_dispatch_fused(seed):
+    """optimize='evolution-fused' through the public simulate() API
+    (interpret mode) matches the indexed engine."""
+    from hybridq_tpu.extras.random import get_rqc
+    from hybridq_tpu.simulation import simulate
+
+    n = 15
+    c = get_rqc(n, 18, indexes=list(range(n)))
+    a = simulate(c, optimize='evolution-fused', initial_state='0' * n,
+                 fused_interpret=True)
+    b = simulate(c, optimize='evolution-indexed',
+                 initial_state='0' * n)
+    np.testing.assert_allclose(np.asarray(a).ravel(),
+                               np.asarray(b).ravel(), atol=ATOL)

@@ -308,3 +308,37 @@ def test_tn_random_token_states():
         eq = ','.join(eq_in) + '->' + out
         expected = contract(eq, *operands)
         np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_flat_scan_executor_direct():
+    """Force the scanned flat executor on a sliced plan and compare
+    against the numpy backend (it is bypassed for small trees by
+    contract_jax's routing)."""
+    from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
+                                                    SlicedContractor)
+    from hybridq_tpu.simulation.tn.network import build_tn
+    from hybridq_tpu.simulation.tn.path import find_path
+    from hybridq_tpu.simulation.tn.slicer import slice_and_reconfigure
+
+    n = 6
+    c = _fsim_layered(n, 8, seed=7)
+    net, output_order = build_tn(c, '0' * n, '0' * n)
+    inputs = [t.inds for t in net.tensors]
+    size_dict = {i: d for t in net.tensors
+                 for i, d in zip(t.inds, t.data.shape)}
+    tree = find_path(inputs, output_order, size_dict, max_repeats=4,
+                     seed=0)
+    tree, sliced, cost = slice_and_reconfigure(
+        tree, target_size=2**3, time_budget=3.0)
+    assert cost.nslices > 1
+    plan = ContractionPlan(tree, sliced)
+    sc = SlicedContractor(plan, net.tensors, output_order)
+    want = sc.contract_np()
+    got = sc.contract_jax_flat_scan()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    # partial-sum ranges add up
+    a = sc.contract_jax_flat_scan(slice_range=(0, sc.nslices // 2))
+    b = sc.contract_jax_flat_scan(
+        slice_range=(sc.nslices // 2, sc.nslices))
+    np.testing.assert_allclose(np.asarray(a) + np.asarray(b), want,
+                               atol=1e-5)
