@@ -733,6 +733,11 @@ class _FusedCalibrator:
             try:
                 args = _calibrate_args(n, spec)
                 fn = ev._kernel(kind, cls)
+                # TWO settle calls: the first may compile (a compile
+                # inside the timed reps once recorded a 7149 ms
+                # 'measurement' for a 121 ms class).
+                st = fn(st, *args)
+                _sync(st)
                 st = fn(st, *args)
                 _sync(st)
                 t0 = _t.perf_counter()
@@ -758,6 +763,8 @@ class _FusedCalibrator:
                       file=_sys.stderr, flush=True)
         # park cost: the row-permute gather
         try:
+            st = ev._row_permute(st, list(range(n)))
+            _sync(st)
             t0 = _t.perf_counter()
             for _ in range(reps):
                 st = ev._row_permute(st, list(range(n)))
@@ -765,8 +772,11 @@ class _FusedCalibrator:
             ms = max((_t.perf_counter() - t0 - t_sync) / reps,
                      1e-4) * 1e3
             out[f"{_device_kind()}|fpark|0|0|0"] = [n, round(ms, 3)]
-        except Exception:
-            pass
+        except Exception as e:
+            if verbose:
+                print(f"# fused calibrate park failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}",
+                      file=_sys.stderr, flush=True)
 
         if save and out:
             import json

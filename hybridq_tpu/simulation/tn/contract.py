@@ -410,128 +410,6 @@ class SlicedContractor:
             meta.append((base, tuple(terms)))
         return meta
 
-    def _grouped_schedule(self):
-        """Schedule for the scanned executor with GROUPED dot_general
-        dims: each step contracts/batches over multi-dimensional index
-        groups directly (reshaped views of the flat operands), so the
-        bit-permutation gathers of the per-step executor disappear —
-        on this part a single 2^26-element reorder gather costs ~0.5 s
-        while dot_general absorbs the same permutation into its tiling
-        (the measured difference is ~20 s vs ~0.1 s per slice).
-
-        A group is a maximal run of same-category indices (batch /
-        summed / free) adjacent in the operand; summed and batch
-        groups must be adjacent IN BOTH operands (so the contracting
-        dims pair one-to-one)."""
-        plan = self.plan
-        sizes = plan.tree.size_dict
-        order: Dict[int, Tuple[str, ...]] = {}
-        for v in range(plan.tree.n_leaves):
-            order[v] = plan.eff[v]
-        sched = []
-        for v, a, b, _, _, _ in plan.steps:
-            ea, eb = order.pop(a), order.pop(b)
-            retained = set(plan.eff[v])
-            shared = set(ea) & set(eb)
-            summed = {i for i in shared if i not in retained}
-            batch = {i for i in shared if i in retained}
-            # Larger free side on the left (better dot shapes).
-            fl = [i for i in ea if i not in shared]
-            fr = [i for i in eb if i not in shared]
-            if np.prod([sizes[i] for i in fl] or [1]) >= \
-                    np.prod([sizes[i] for i in fr] or [1]):
-                left, right, el, er = a, b, ea, eb
-            else:
-                left, right, el, er = b, a, eb, ea
-
-            pos_r = {i: p for p, i in enumerate(er)}
-
-            def cat_of(i, in_l):
-                if i in summed:
-                    return 's'
-                if i in batch:
-                    return 'b'
-                return 'fl' if in_l else 'fr'
-
-            # lhs groups: runs of same category; s/b runs must also be
-            # consecutive (same order) in the rhs.
-            groups_l = []
-            cur = [el[0]] if el else []
-            for i in el[1:]:
-                prev = cur[-1]
-                ok = cat_of(i, True) == cat_of(prev, True)
-                if ok and cat_of(i, True) in ('s', 'b'):
-                    ok = (i in pos_r and prev in pos_r and
-                          pos_r[i] == pos_r[prev] + 1)
-                if ok:
-                    cur.append(i)
-                else:
-                    groups_l.append(cur)
-                    cur = [i]
-            if cur:
-                groups_l.append(cur)
-            # rhs groups: s/b groups appear as the same contiguous
-            # runs (by construction); fr indices form their own runs.
-            gl_first = {g[0]: gi for gi, g in enumerate(groups_l)
-                        if cat_of(g[0], True) in ('s', 'b')}
-            groups_r = []
-            gr_of_gl = {}
-            p = 0
-            while p < len(er):
-                i = er[p]
-                if i in gl_first:
-                    g = groups_l[gl_first[i]]
-                    assert list(er[p:p + len(g)]) == g
-                    gr_of_gl[gl_first[i]] = len(groups_r)
-                    groups_r.append(g)
-                    p += len(g)
-                else:
-                    run = [i]
-                    p += 1
-                    while p < len(er) and \
-                            cat_of(er[p], False) == 'fr' and \
-                            cat_of(run[-1], False) == 'fr':
-                        run.append(er[p])
-                        p += 1
-                    groups_r.append(run)
-            lshape = tuple(int(np.prod([sizes[i] for i in g]))
-                           for g in groups_l)
-            rshape = tuple(int(np.prod([sizes[i] for i in g]))
-                           for g in groups_r)
-            lc, rc, lb, rb = [], [], [], []
-            for gi, g in enumerate(groups_l):
-                c = cat_of(g[0], True)
-                if c == 's':
-                    lc.append(gi)
-                    rc.append(gr_of_gl[gi])
-                elif c == 'b':
-                    lb.append(gi)
-                    rb.append(gr_of_gl[gi])
-            sched.append({
-                'v': v, 'left': left, 'right': right,
-                'lshape': lshape, 'rshape': rshape,
-                'dims': ((tuple(lc), tuple(rc)),
-                         (tuple(lb), tuple(rb))),
-            })
-            # dot_general output order: batch (lhs order) + lhs free +
-            # rhs free.
-            out = [i for g in groups_l
-                   for i in (g if cat_of(g[0], True) == 'b' else [])]
-            out += [i for g in groups_l
-                    for i in (g if cat_of(g[0], True) == 'fl' else [])]
-            out += [i for g in groups_r
-                    for i in (g if cat_of(g[0], False) == 'fr' else [])]
-            order[v] = tuple(out)
-        root_order = order[plan.root]
-        out_shift = None
-        if tuple(root_order) != tuple(self.output_order):
-            k = len(root_order)
-            pos = {i: p for p, i in enumerate(root_order)}
-            out_shift = np.asarray(
-                [k - 1 - pos[i] for i in self.output_order],
-                dtype=np.int32)
-        return sched, out_shift
-
     def contract_jax_flat_scan(self, slice_range=None,
                                verbose: bool = False):
         """ONE compiled program for the whole slice range: ``lax.scan``
@@ -564,17 +442,33 @@ class SlicedContractor:
         if stop <= start:
             return np.zeros(out_shape, dtype=self.complex_type)
 
-        sched, out_shift = self._grouped_schedule()
+        sched, out_shift = self._flat_schedule()
         precision = _resolve_precision(self.matmul_precision)
         n_leaves = self.plan.tree.n_leaves
         leaf_meta = self._leaf_gather_meta()
 
-        # Runtime inputs: flat leaf pairs.
+        # Runtime inputs: flat leaf pairs + the distinct shift tables.
         leaves = [(jnp.asarray(d.real.reshape(-1).astype(
             self.float_type)),
             jnp.asarray(d.imag.reshape(-1).astype(self.float_type)))
             for d in self.datas]
-        shift_vals = []    # kept in the signature for cache stability
+        shift_keys = []
+        shift_vals = []
+        for st in sched:
+            for key in ('shl', 'shr'):
+                if st[key] is not None:
+                    t = tuple(st[key])
+                    if t not in shift_keys:
+                        shift_keys.append(t)
+                        shift_vals.append(jnp.asarray(st[key]))
+        shift_of = {t: i for i, t in enumerate(shift_keys)}
+
+        def gather(x_re, x_im, k, sh):
+            i = jnp.arange(2**k, dtype=jnp.int32)
+            idx = jnp.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+            return jnp.take(x_re, idx), jnp.take(x_im, idx)
 
         def one_slice(sid, leaves, shifts):
             vals = {}
@@ -588,17 +482,24 @@ class SlicedContractor:
                     re, im = jnp.take(re, idx), jnp.take(im, idx)
                 vals[v] = (re, im)
             for st in sched:
+                kl, kr, s, nb, gl, gr = st['key']
                 lr, li = vals.pop(st['left'])
                 rr, ri = vals.pop(st['right'])
-                Ar, Ai = lr.reshape(st['lshape']), \
-                    li.reshape(st['lshape'])
-                Br, Bi = rr.reshape(st['rshape']), \
-                    ri.reshape(st['rshape'])
-                dims = st['dims']
+                if gl:
+                    lr, li = gather(lr, li, kl,
+                                    shifts[shift_of[tuple(st['shl'])]])
+                if gr:
+                    rr, ri = gather(rr, ri, kr,
+                                    shifts[shift_of[tuple(st['shr'])]])
+                B = 2**nb
+                M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
+                Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+                Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
 
                 def mm(x, y):
-                    return lax.dot_general(x, y, dims,
-                                           precision=precision)
+                    return lax.dot_general(
+                        x, y, (((2,), (1,)), ((0,), (0,))),
+                        precision=precision)
 
                 cr = mm(Ar, Br) - mm(Ai, Bi)
                 ci = mm(Ar, Bi) + mm(Ai, Br)
