@@ -357,7 +357,7 @@ def main():
     # Echo the recorded TN north-star artifact (written by
     # scripts/bench_tn.py) so it lands in the BENCH tail.
     tn_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          'scripts', '_plan_cache', 'tn_results.json')
+                          'BENCH_TN.json')
     try:
         with open(tn_art) as f:
             for line in f:

@@ -5,8 +5,9 @@ stack bit = top row bit).  Physical layout is tracked as a BIT
 PERMUTATION (``phys[logical_bit] -> physical slot``): the fused
 kernels read and write every amplitude in place, so applying a gate
 never perturbs the layout — except the swap path, which exchanges the
-gate's lane slots with cold (LRU) high slots as a FREE relabel (the
-data moves inside the same one-pass traversal that applies the gate).
+gate's lane slots with victim high slots (lowest physical slot first —
+a map-pure policy, see ``_victims``) as a FREE relabel (the data moves
+inside the same one-pass traversal that applies the gate).
 This replaces the XLA engine's deferred-gather machinery and its
 40 ms column-rotation pass (``kernels.py:909-953``) entirely.
 
@@ -82,8 +83,6 @@ class FusedEvolver:
         # and never tracked).
         self.phys = list(range(self.n))
         self.logi = list(range(self.n))
-        self._tick = 0
-        self._use = [0] * self.n          # logical bit -> last use
         self._prep_cache: dict = {}       # (gate_key, map_key) -> prep
         self._rowmap_cache: dict = {}
         # Step classes executed by apply_gate (appended per kernel /
@@ -203,9 +202,6 @@ class FusedEvolver:
         repeated applications of the same gate."""
         n = self.n
         bits_log = [n - 1 - q for q in qubits]
-        self._tick += 1
-        for b in bits_log:
-            self._use[b] = self._tick
 
         prep = None
         for _ in range(6):
@@ -465,8 +461,8 @@ class FusedEvolver:
 # The pairing scheduler needs per-gate costs that depend on the
 # EVOLVING slot map (a gate's class is set by where its bits live when
 # it runs).  ``MapSim`` replicates FusedEvolver's routing and layout
-# bookkeeping exactly — branch order, LRU victim choice, eviction and
-# parking fallbacks — and is asserted against the engine's recorded
+# bookkeeping exactly — branch order, lowest-slot victim choice,
+# eviction and parking fallbacks — and is asserted against the recorded
 # ``last_steps`` trace (tests/test_fused_evolver.py).
 
 # Measured per-application costs (ms, 28q v5e, probe_fused_perf.py);
@@ -508,22 +504,19 @@ def _step_cost(step, n: int) -> float:
 class MapSim:
     """Clonable mirror of FusedEvolver's slot map + routing."""
 
-    __slots__ = ('n', 'phys', 'logi', 'use', 'tick')
+    __slots__ = ('n', 'phys', 'logi')
 
-    def __init__(self, n, phys=None, logi=None, use=None, tick=0):
+    def __init__(self, n, phys=None, logi=None):
         self.n = n
         self.phys = list(phys) if phys else list(range(n))
         self.logi = list(logi) if logi else list(range(n))
-        self.use = list(use) if use else [0] * n
-        self.tick = tick
 
     @classmethod
     def of(cls, ev: 'FusedEvolver') -> 'MapSim':
-        return cls(ev.n, ev.phys, ev.logi, ev._use, ev._tick)
+        return cls(ev.n, ev.phys, ev.logi)
 
     def clone(self) -> 'MapSim':
-        return MapSim(self.n, self.phys, self.logi, self.use,
-                      self.tick)
+        return MapSim(self.n, self.phys, self.logi)
 
     def _victims(self, k, exclude):
         cands = sorted(
@@ -560,9 +553,6 @@ class MapSim:
         illegal merge)."""
         n = self.n
         bits_log = [n - 1 - q for q in qubits]
-        self.tick += 1
-        for b in bits_log:
-            self.use[b] = self.tick
         steps = []
         for _ in range(6):
             phys_bits = [self.phys[b] for b in bits_log]
@@ -761,13 +751,18 @@ class _FusedCalibrator:
             if verbose:
                 print(f"# fused calibrate {spec}: {ms:.1f} ms",
                       file=_sys.stderr, flush=True)
-        # park cost: the row-permute gather
+        # park cost: the row-permute gather.  Measure on a FRESH
+        # evolver: after the swap classes above, ``ev``'s slot map has
+        # relabeled lane slots, and ``_row_permute`` (rightly) refuses
+        # to row-permute lane bits — BENCH_r04 recorded exactly that
+        # failure and silently fell back to the hardcoded park cost.
         try:
-            st = ev._row_permute(st, list(range(n)))
+            ev2 = FusedEvolver(n, interpret=ev.interpret)
+            st = ev2._row_permute(st, list(range(n)))
             _sync(st)
             t0 = _t.perf_counter()
             for _ in range(reps):
-                st = ev._row_permute(st, list(range(n)))
+                st = ev2._row_permute(st, list(range(n)))
             _sync(st)
             ms = max((_t.perf_counter() - t0 - t_sync) / reps,
                      1e-4) * 1e3

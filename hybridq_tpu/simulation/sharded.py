@@ -174,6 +174,30 @@ class ShardedEvolver:
             lambda idx: np.zeros((1, 2**nl), dtype=ftype))
         return re, im
 
+    def scatter_state(self, psi) -> tuple:
+        """Scatter a full host state array into the sharded split
+        layout (each device receives only its own shard rows).  The
+        single-chip engines accept array initial states; this is the
+        sharded analog (the reference has no distributed state vector
+        at all, ``simulation.py:379-380``)."""
+        import jax
+
+        if self.perm != list(range(self.n_qubits)):
+            raise RuntimeError(
+                "scatter_state requires the canonical layout")
+        psi = np.asarray(psi)
+        if psi.size != 2**self.n_qubits:
+            raise ValueError("Wrong state size for scatter_state.")
+        flat = psi.reshape(2**self.g, 2**self.n_local)
+        ftype = self.float_type
+        re_h = np.ascontiguousarray(flat.real, dtype=ftype)
+        im_h = np.ascontiguousarray(flat.imag, dtype=ftype)
+        re = jax.make_array_from_callback(
+            re_h.shape, self.sharding, lambda idx: re_h[idx])
+        im = jax.make_array_from_callback(
+            im_h.shape, self.sharding, lambda idx: im_h[idx])
+        return re, im
+
     # -- scheduling ------------------------------------------------------
     def _schedule(self, gates, qubit_index):
         """Turn a gate list into a static (ops, mats) schedule with

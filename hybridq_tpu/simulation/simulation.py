@@ -303,11 +303,6 @@ def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
     Measure/Projection natively)."""
     from hybridq_tpu.simulation.sharded import (ShardedEvolver,
                                                 ShardedIndexedEvolver)
-
-    if not isinstance(initial_state, str):
-        raise NotImplementedError(
-            "optimize='evolution-sharded' currently requires a token "
-            "string initial state.")
     # Default to the runtime-position (indexed) variant: it compiles one
     # kernel per gate-size class (the traced engine recompiles per
     # circuit *structure* — the wrong default for one-off circuits) and
@@ -321,7 +316,11 @@ def _evolve_sharded(circuit, qubits, initial_state, complex_type, kwargs):
              devices=kwargs.get('devices'),
              complex_type=complex_type,
              compress=kwargs.get('compress', 2) or 2)
-    psi = ev.prepare_state(initial_state)
+    if isinstance(initial_state, str):
+        psi = ev.prepare_state(initial_state)
+    else:
+        psi = ev.scatter_state(
+            np.asarray(initial_state, dtype=complex_type))
     psi = ev.evolve(psi, circuit, qubits=qubits)
     return ev.gather(psi)
 
@@ -389,8 +388,13 @@ def _evolve_fused(blocks, qubits, qubit_index, initial_state,
             from hybridq_tpu.simulation.fused_evolver import MapSim
 
             items = pair_fused_gates(items, n_qubits, MapSim.of(ev))
-            for U, qs in items:
-                state = ev.apply_gate(state, np.asarray(U), tuple(qs))
+            # gate_key engages the (gate, map-state) prep memo: without
+            # it every application rebuilds W on host and re-uploads
+            # over the slow tunnel (~2 s/gate of host stalls measured,
+            # fused_evolver.py module docstring).
+            for i, (U, qs) in enumerate(items):
+                state = ev.apply_gate(state, np.asarray(U), tuple(qs),
+                                      gate_key=('blk', i))
         else:
             state = ev.flush(state)
             flat = np.asarray(state).reshape(2, -1)

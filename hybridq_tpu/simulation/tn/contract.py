@@ -172,6 +172,15 @@ class SlicedContractor:
                 d = d.reshape(want)
             self.datas.append(d)
         self.nslices = plan.nslices
+        self._scan_progs: dict = {}   # per-instance compiled programs
+
+    def _range(self, slice_range):
+        """Clamp a ``(start, stop)`` request to the valid slice ids:
+        ids >= nslices alias the low slice bits and would silently
+        double-count slices."""
+        start, stop = slice_range if slice_range is not None \
+            else (0, self.nslices)
+        return max(0, start), min(stop, self.nslices)
 
     # -- numpy backend ---------------------------------------------------
     def _leaf_np(self, v, sid):
@@ -197,7 +206,7 @@ class SlicedContractor:
 
     def contract_np(self, verbose: bool = False,
                     slice_range=None) -> np.ndarray:
-        start, stop = slice_range or (0, self.nslices)
+        start, stop = self._range(slice_range)
         if stop <= start:  # empty range: a zero partial sum
             return np.zeros([self.plan.tree.size_dict[i]
                              for i in self.output_order],
@@ -436,7 +445,7 @@ class SlicedContractor:
         import jax.numpy as jnp
         from jax import lax
 
-        start, stop = slice_range or (0, self.nslices)
+        start, stop = self._range(slice_range)
         out_shape = [self.plan.tree.size_dict[i]
                      for i in self.output_order]
         if stop <= start:
@@ -530,12 +539,17 @@ class SlicedContractor:
 
         # One compiled program per plan at a FIXED chunk length serves
         # every slice range (sentinel-padded) — ranges of different
-        # sizes must not recompile a minutes-long program.
+        # sizes must not recompile a minutes-long program.  The cache
+        # lives ON THIS INSTANCE (not a module-global keyed by
+        # id(self.plan): a GC'd plan's id can be reused by a new plan
+        # with matching leaf shapes, silently running a stale compiled
+        # schedule).  Cross-instance reuse of the identical program is
+        # handled by the persistent XLA compile cache instead.
         count = stop - start
         C = min(self.scan_chunk, count) if count < self.scan_chunk \
             else self.scan_chunk
-        key = ('flatscan', id(self.plan), self.matmul_precision, C)
-        fn = _FLAT_PROG_CACHE.get(key)
+        key = ('flatscan', self.matmul_precision, C)
+        fn = self._scan_progs.get(key)
         if fn is None:
             t0 = _t.time()
             ids_s = jax.ShapeDtypeStruct((C,), jnp.int32)
@@ -543,7 +557,7 @@ class SlicedContractor:
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                 (leaves, shift_vals))
             fn = jax.jit(run).lower(ids_s, *lv).compile()
-            _FLAT_PROG_CACHE[key] = fn
+            self._scan_progs[key] = fn
             if verbose:
                 print(f"# flat-scan executor: compiled "
                       f"{len(sched)}-step chunk-{C} program in "
@@ -576,7 +590,7 @@ class SlicedContractor:
 
         import jax.numpy as jnp
 
-        start, stop = slice_range or (0, self.nslices)
+        start, stop = self._range(slice_range)
         if stop <= start:
             return np.zeros([self.plan.tree.size_dict[i]
                              for i in self.output_order],
@@ -776,7 +790,7 @@ class SlicedContractor:
                   for d in self.datas]
         select, fns = self._build_segments()
 
-        start, stop = slice_range or (0, self.nslices)
+        start, stop = self._range(slice_range)
         count = stop - start
         if count <= 0:  # empty range: a zero partial sum
             return np.zeros([self.plan.tree.size_dict[i]
@@ -861,7 +875,7 @@ class SlicedContractor:
                 self.nslices % n_dev == 0:
             return self._contract_jax_mesh(one_slice, leaves, devices)
 
-        start, stop = slice_range or (0, self.nslices)
+        start, stop = self._range(slice_range)
         count = stop - start
         if count <= 0:  # empty range: a zero partial sum
             return np.zeros([self.plan.tree.size_dict[i]

@@ -196,11 +196,17 @@ def test_pair_fused_gates(seed):
 def test_simulate_dispatch_fused(seed):
     """optimize='evolution-fused' through the public simulate() API
     (interpret mode) matches the indexed engine."""
+    from hybridq_tpu.circuit import Circuit
     from hybridq_tpu.extras.random import get_rqc
+    from hybridq_tpu.gate import Gate
     from hybridq_tpu.simulation import simulate
 
     n = 15
-    c = get_rqc(n, 18, indexes=list(range(n)))
+    # Pad coverage explicitly: a short random circuit can miss a qubit
+    # label entirely, and '0'*n then mismatches all_qubits (the fixture
+    # trap CLAUDE.md warns about — seed-dependent failure at HEAD r4).
+    c = Circuit([Gate('H', qubits=[q]) for q in range(n)]) + \
+        get_rqc(n, 18, indexes=list(range(n)))
     a = simulate(c, optimize='evolution-fused', initial_state='0' * n,
                  fused_interpret=True)
     b = simulate(c, optimize='evolution-indexed',

@@ -215,6 +215,31 @@ def test_tn_engine_parity_vs_reference(trial):
         np.testing.assert_allclose(amp, ref_psi[bits], atol=1e-6)
 
 
+def test_statevector_parity_n20_indexed():
+    """Large-n parity on CPU: one 20-qubit random circuit, reference
+    einsum (complex128) vs our indexed engine, 1e-6 absolute (the
+    BASELINE parity grade; small-n trials above don't exercise the
+    runtime-position kernels at production-like depth/width)."""
+    from hybridq.circuit.simulation import simulate as ref_simulate
+    from hybridq.gate import Gate as RefGate
+
+    rng = np.random.default_rng(600)
+    n = 20
+    mine, ref = _paired_random_circuit(n, 60, rng)
+    for q in range(n):  # pad coverage explicitly
+        mine.append(Gate('H', [q]))
+        ref.append(RefGate('H', [q]))
+    psi = np.asarray(simulate(mine, initial_state='0',
+                              optimize='evolution-indexed',
+                              complex_type='complex64')).reshape(-1)
+    ref_psi = np.asarray(
+        ref_simulate(ref, initial_state='0',
+                     optimize='evolution-einsum', backend='numpy',
+                     complex_type='complex128')).reshape(-1)
+    np.testing.assert_allclose(psi, ref_psi.astype('complex64'),
+                               atol=1e-6)
+
+
 def test_clifford_parity_parallel_and_device():
     """Clifford engine parity at n=8 incl. the process-parallel and
     device backends (reference ``clifford.py:549-729``)."""

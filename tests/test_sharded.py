@@ -111,6 +111,27 @@ def test_simulate_dispatch_sharded():
     np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+def test_simulate_dispatch_sharded_array_initial_state(seed):
+    """Array initial states scatter into the shard layout (the
+    single-chip engines accept arrays; the sharded one must too)."""
+    if _n_devices() < 8:
+        pytest.skip('not enough devices')
+    n = 7
+    rng = np.random.default_rng(seed)
+    psi0 = rng.standard_normal((2,) * n) + \
+        1j * rng.standard_normal((2,) * n)
+    psi0 = (psi0 / np.linalg.norm(psi0)).astype('complex64')
+    c = Circuit(Gate('H', [q]) for q in range(n)) + \
+        get_rqc(n, 20, indexes=list(range(n)))
+    expected = np.asarray(
+        simulate(c, initial_state=psi0, complex_type='complex128',
+                 simplify=False))
+    got = np.asarray(
+        simulate(c, initial_state=psi0, optimize='evolution-sharded',
+                 simplify=False))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Runtime-position sharded engine (ShardedIndexedEvolver)
 # ---------------------------------------------------------------------------
