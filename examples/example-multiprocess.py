@@ -17,6 +17,12 @@ join a ``jax.distributed`` coordinator (4 virtual CPU devices each → an
     each worker contracts only its ``parallel.local_slice_range`` share
     and the parent sums the partials, which must equal the full
     contraction to 1e-5.
+ 3. **Distributed Clifford frontier** — ``update_pauli_string`` with
+    the autodetected ``jax.distributed`` runtime splits the BFS branch
+    frontier across the processes and all-gather-merges the partial
+    dicts (the analog of the reference's MPI scatter + binary-tree
+    merge, ``clifford.py:1227-1386``); every worker's merged dict must
+    equal the parent's single-process result to 1e-6.
 """
 
 import importlib.util
@@ -54,6 +60,25 @@ def build_workload():
 
     return get_rqc(N, DEPTH, indexes=list(range(N))) + Circuit(
         Gate('H', [q]) for q in range(N))
+
+
+def build_clifford_workload():
+    """Clifford+T ladder + Pauli operator for the distributed frontier
+    check: ~200 output strings, so the branch split is exercised for
+    real (a random RQC often collapses to a handful of strings)."""
+    from hybridq_tpu.circuit import Circuit
+    from hybridq_tpu.gate import Gate
+
+    nq = 6
+    c = Circuit()
+    for _ in range(3):
+        for q in range(nq):
+            c.append(Gate('H', [q]))
+            c.append(Gate('T', [q]))
+        for q in range(nq - 1):
+            c.append(Gate('CX', [q, q + 1]))
+    pauli = Circuit([Gate('X', [0]), Gate('Z', [3])])
+    return c, pauli
 
 
 def worker(out_path, plan_path):
@@ -98,13 +123,20 @@ def worker(out_path, plan_path):
     partial = simulate(net, optimize=(info, plan), backend='numpy',
                        slice_range=(start, stop))
 
+    # --- Part 3: distributed Clifford branch frontier ------------------
+    from hybridq_tpu.simulation.clifford import update_pauli_string
+
+    cc, pauli = build_clifford_workload()
+    cdb = update_pauli_string(cc, pauli, float_type='float64')
+
     with open(out_path, 'wb') as f:
         pickle.dump({'pid': pid, 'probs': probs,
                      'partial': complex(np.asarray(partial).reshape(-1)[0]),
                      'slice_range': (start, stop),
-                     'n_slices': n_slices}, f)
-    print(f"# worker {pid}: ok (slices {start}:{stop} of {n_slices})",
-          flush=True)
+                     'n_slices': n_slices,
+                     'clifford_db': dict(cdb)}, f)
+    print(f"# worker {pid}: ok (slices {start}:{stop} of {n_slices}, "
+          f"{len(cdb)} pauli strings)", flush=True)
 
 
 def parent():
@@ -183,12 +215,27 @@ def parent():
     total = sum(r['partial'] for r in results)
     assert abs(total - expected_amp) < 1e-5, (total, expected_amp)
 
+    # Part 3: every worker's all-gather-merged Clifford dict equals the
+    # single-process expansion.
+    from hybridq_tpu.simulation.clifford import update_pauli_string
+    cc, pauli = build_clifford_workload()
+    expected_db = dict(update_pauli_string(cc, pauli, use_mpi=False,
+                                           float_type='float64'))
+    for r in results:
+        got = r['clifford_db']
+        assert set(got) == set(expected_db), (
+            len(got), len(expected_db))
+        for k in expected_db:
+            assert abs(got[k] - expected_db[k]) < 1e-6, k
+
     print(json.dumps({
         'example': 'multiprocess',
         'n_processes': N_PROC,
         'global_devices': N_PROC * DEV_PER_PROC,
         'prob_check': 'ok',
         'sliced_amplitude_check': 'ok',
+        'clifford_merge_check': 'ok',
+        'n_pauli_strings': len(expected_db),
         'n_slices': n_slices,
     }))
 

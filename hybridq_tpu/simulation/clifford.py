@@ -240,6 +240,40 @@ def _apply_gate_batch_jax(codes, phases, qs, rows, k, branch_atol,
     return out_codes[sel], out_phases[sel]
 
 
+def _distributed_merge(db, n):
+    """Sum per-process partial dicts across ``jax.distributed``
+    processes (the DCN analog of the reference's binary-tree dict
+    merge over MPI send/recv, ``clifford.py:1280-1386``): each process
+    encodes its strings as padded (codes, phases) arrays and a
+    ``process_allgather`` replicates them; every process returns the
+    identical merged dict (scatter + tree-merge + bcast in one step).
+    """
+    from jax.experimental import multihost_utils as mhu
+
+    keys = sorted(db)
+    codes = np.zeros((len(keys), n), dtype=np.int32)
+    for i, kk in enumerate(keys):
+        codes[i] = [_PAULI_NAMES.index(c) for c in kk]
+    phases = np.asarray([db[kk] for kk in keys], dtype=np.float64)
+    sizes = np.asarray(mhu.process_allgather(
+        np.asarray([len(keys)], dtype=np.int64))).reshape(-1)
+    m = max(int(sizes.max()), 1)
+    cp = np.zeros((m, n), np.int32)
+    cp[:len(keys)] = codes
+    pp = np.zeros((m,), np.float64)
+    pp[:len(keys)] = phases
+    all_codes = np.asarray(mhu.process_allgather(cp))
+    all_phases = np.asarray(mhu.process_allgather(pp))
+    out = defaultdict(float)
+    for p in range(all_codes.shape[0]):
+        cnt = int(sizes[p])
+        for key, ph in zip(
+                _string_keys(all_codes[p][:cnt].astype(np.uint8)),
+                all_phases[p][:cnt]):
+            out[key] += float(ph)
+    return out
+
+
 _WORKER_GATES = None
 
 
@@ -309,6 +343,14 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
     ``backend='jax'`` runs the batch expansion on devices (the batch
     axis shards over ``devices``, default all); compaction and the
     final dict stay host-side.
+
+    ``use_mpi``: ``None`` (default) autodetects a ``jax.distributed``
+    runtime and splits the branch frontier across processes (each
+    process evolves its share, partial dicts merge with one
+    all-gather — the analog of the reference's MPI scatter +
+    binary-tree merge, ``clifford.py:1227-1386``); ``False`` disables,
+    ``True`` forces.  Composes with ``parallel`` and ``backend``: each
+    process's share still runs on its local pool or devices.
 
     ``max_virtual_memory`` (default 80): abort with ``MemoryError``
     when system memory use exceeds this percentage (reference
@@ -409,14 +451,45 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
     else:
         n_workers = max(int(parallel or 1), 1)
 
+    # Cross-process branch distribution (the jax.distributed analog of
+    # the reference's MPI BFS scatter + tree merge,
+    # ``clifford.py:1227-1386``): ``use_mpi=None`` autodetects a
+    # distributed runtime, True forces, False disables.  Every process
+    # runs the SAME deterministic BFS until the frontier is wide enough
+    # to split, takes its process-index share, evolves it with any
+    # local backend below, and the partial dicts merge with one
+    # all-gather at the end (``_distributed_merge``).
+    if use_mpi is None:
+        try:
+            from hybridq_tpu import parallel as _par
+            distributed = _par.is_distributed()
+        except Exception:
+            distributed = False
+    else:
+        distributed = bool(use_mpi)
+    gi0 = 0
+    if distributed:
+        from hybridq_tpu import parallel as _par
+        _pid, _nproc = _par.process_index(), _par.process_count()
+        while gi0 < len(gates) and len(codes) and \
+                len(codes) < 4 * _nproc * n_workers:
+            qs, rows, k = gates[gi0]
+            codes, phases = _apply_gate_batch(codes, phases, qs, rows,
+                                              k, kwargs['branch_atol'])
+            gi0 += 1
+            codes, phases = _merge_batch(codes, phases)
+            info['largest_batch'] = max(info['largest_batch'],
+                                        len(codes))
+        share = np.array_split(np.arange(len(codes)), _nproc)[_pid]
+        codes, phases = codes[share], phases[share]
+
     if backend == 'jax':
         # Device-batched frontier: expansion runs on devices (batch axis
         # sharded over the mesh); split/merge/compaction stay host-side.
         import jax as _jax
 
         devs = list(devices) if devices is not None else _jax.devices()
-        gi = 0
-        stack = [(0, codes, phases)]
+        stack = [(gi0, codes, phases)]
         while stack:
             gi, codes, phases = stack.pop()
             while gi < len(gates) and len(codes):
@@ -446,7 +519,7 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
         # (reference clifford.py:549-729, 1227-1386).
         import multiprocessing as _mp
 
-        gi = 0
+        gi = gi0
         while gi < len(gates) and len(codes) and \
                 len(codes) < 4 * n_workers:
             qs, rows, k = gates[gi]
@@ -479,7 +552,7 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
                     info['largest_batch'] = max(info['largest_batch'],
                                                 largest)
     else:
-        stack = [(0, codes, phases)]
+        stack = [(gi0, codes, phases)]
         while stack:
             gi, codes, phases = stack.pop()
             while gi < len(gates) and len(codes):
@@ -503,6 +576,13 @@ def update_pauli_string(circuit, pauli_string, phase: float = 1,
             codes, phases = _merge_batch(codes, phases)
             for row, ph in zip(codes, phases):
                 db[''.join(_PAULI_NAMES[c] for c in row)] += float(ph)
+
+    # Merge partial dicts across jax.distributed processes (all
+    # processes participate — the allgather is a collective — and all
+    # return the identical merged dict).  Must run BEFORE the atol
+    # filter: per-process contributions to one string must sum first.
+    if distributed:
+        db = _distributed_merge(db, n)
 
     # Drop negligible strings.
     atol = kwargs['atol']

@@ -30,6 +30,7 @@ def test_multiprocess_example(n_proc, dev_per_proc):
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result['prob_check'] == 'ok'
     assert result['sliced_amplitude_check'] == 'ok'
+    assert result['clifford_merge_check'] == 'ok'
     assert result['n_processes'] == n_proc
 
 
