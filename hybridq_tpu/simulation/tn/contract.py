@@ -148,6 +148,11 @@ class SlicedContractor:
         # program is compiled once at this chunk length and reused for
         # every range, sentinel-padded).
         self.scan_chunk = 256
+        # Max contraction steps per compiled scanned program: longer
+        # chains split into pipelined segment programs (a monolithic
+        # 404-step depth-20 program crashed the TPU worker outright;
+        # the 234-step depth-12 one ran — stay under that).
+        self.scan_seg_steps = 200
         self.plan = plan
         self.output_order = tuple(output_order)
         self.perm = plan.output_perm(output_order)
@@ -452,6 +457,9 @@ class SlicedContractor:
             return np.zeros(out_shape, dtype=self.complex_type)
 
         sched, out_shift = self._flat_schedule()
+        if len(sched) > self.scan_seg_steps:
+            return self._contract_flat_scan_segmented(
+                sched, out_shift, start, stop, verbose=verbose)
         precision = _resolve_precision(self.matmul_precision)
         n_leaves = self.plan.tree.n_leaves
         leaf_meta = self._leaf_gather_meta()
@@ -570,6 +578,236 @@ class SlicedContractor:
             m = min(C, stop - lo)
             ids_np[:m] = np.arange(lo, lo + m, dtype=np.int32)
             re, im = fn(jnp.asarray(ids_np), leaves, shift_vals)
+            acc = (re, im) if acc is None else (acc[0] + re,
+                                                acc[1] + im)
+        out = np.asarray(acc[0]).astype(self.complex_type)
+        out += 1j * np.asarray(acc[1]).astype(self.float_type)
+        return out.reshape(out_shape)
+
+    def _flat_scan_cuts(self, sched):
+        """Cut the flat schedule into segments of <= ``scan_seg_steps``
+        steps, choosing each cut where the crossing live set (produced
+        tensors alive at the cut) is smallest.  Returns
+        ``(bounds, live_at_cut)`` with ``bounds`` the step indices
+        ``[0, c1, ..., n]`` and ``live_at_cut[k]`` the sorted node ids
+        alive at cut ``c_{k+1}``."""
+        n_steps = len(sched)
+        seg_limit = int(self.scan_seg_steps)
+        n_seg = -(-n_steps // seg_limit)
+        live = {}
+        sizes = []
+        for st in sched:
+            live.pop(st['left'], None)
+            live.pop(st['right'], None)
+            live[st['v']] = 2 ** len(self.plan.eff[st['v']])
+            sizes.append(sum(live.values()))
+        bounds = [0]
+        for s in range(1, n_seg):
+            target = round(s * n_steps / n_seg)
+            w = max(4, seg_limit // 4)
+            lo = max(bounds[-1] + 1, target - w)
+            hi = min(n_steps - 1, target + w)
+            if lo >= hi:
+                continue
+            best = min(range(lo, hi), key=lambda i: sizes[i])
+            bounds.append(best + 1)   # cut AFTER step ``best``
+        bounds.append(n_steps)
+        live_at_cut = []
+        live_set: set = set()
+        ci = 1
+        for i, st in enumerate(sched):
+            live_set.discard(st['left'])
+            live_set.discard(st['right'])
+            live_set.add(st['v'])
+            if ci < len(bounds) - 1 and i + 1 == bounds[ci]:
+                live_at_cut.append(sorted(live_set))
+                ci += 1
+        return bounds, live_at_cut
+
+    def _contract_flat_scan_segmented(self, sched, out_shift, start,
+                                      stop, verbose: bool = False):
+        """Pipelined variant of ``contract_jax_flat_scan`` for long
+        chains: the step chain splits into segment programs, each a
+        ``lax.scan`` over the slice chunk whose per-slice outputs are
+        the boundary tensors crossing the cut (stacked ``[C, 2^k]``
+        device arrays handed to the next segment program).  Needed
+        because one monolithic program crashes the TPU worker beyond a
+        few hundred steps (observed at 404 steps, Sycamore-53 depth
+        20), while each ~half-size segment is a proven program shape.
+        Cuts land on minimal live sets, so the inter-segment
+        materialization stays small."""
+        import sys
+        import time as _t
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        precision = _resolve_precision(self.matmul_precision)
+        leaf_meta = self._leaf_gather_meta()
+        out_shape = [self.plan.tree.size_dict[i]
+                     for i in self.output_order]
+
+        bounds, live_at_cut = self._flat_scan_cuts(sched)
+        segs = [sched[a:b] for a, b in zip(bounds, bounds[1:])]
+        n_seg = len(segs)
+        kdim = {v: len(inds) for v, inds in self.plan.eff.items()}
+
+        # Chunk length: bounded by the largest per-slice boundary so a
+        # [C, boundary] stack stays ~<= 1 GB per side of a cut.
+        bound_bytes = max(
+            (sum(2**kdim[v] for v in cut) * 8 for cut in live_at_cut),
+            default=8)
+        C = int(min(self.scan_chunk, max(1, 2**30 // bound_bytes),
+                    max(1, stop - start)))
+
+        leaves = [(jnp.asarray(d.real.reshape(-1).astype(
+            self.float_type)),
+            jnp.asarray(d.imag.reshape(-1).astype(self.float_type)))
+            for d in self.datas]
+        shift_keys = []
+        shift_vals = []
+        for st in sched:
+            for key in ('shl', 'shr'):
+                if st[key] is not None:
+                    t = tuple(st[key])
+                    if t not in shift_keys:
+                        shift_keys.append(t)
+                        shift_vals.append(jnp.asarray(st[key]))
+        shift_of = {t: i for i, t in enumerate(shift_keys)}
+
+        def gather(x_re, x_im, k, sh):
+            i = jnp.arange(2**k, dtype=jnp.int32)
+            idx = jnp.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+
+        def leaf_val(sid, v, leaves):
+            re, im = leaves[v]
+            base, terms = leaf_meta[v]
+            if terms:
+                idx = jnp.asarray(base)
+                for j, stride in terms:
+                    idx = idx + ((sid >> j) & 1) * stride
+                re, im = jnp.take(re, idx), jnp.take(im, idx)
+            return re, im
+
+        def make_run(seg, in_nodes, out_nodes, is_last):
+            def body(carry, x):
+                sid_raw, bins = x
+                sid = jnp.maximum(sid_raw, 0)
+                vals = dict(zip(in_nodes, bins))
+
+                def fetch(v):
+                    if v in vals:
+                        return vals.pop(v)
+                    return leaf_val(sid, v, leaves_c[0])
+
+                for st in seg:
+                    kl, kr, s, nb, gl, gr = st['key']
+                    lr, li = fetch(st['left'])
+                    rr, ri = fetch(st['right'])
+                    if gl:
+                        lr, li = gather(
+                            lr, li, kl,
+                            shifts_c[0][shift_of[tuple(st['shl'])]])
+                    if gr:
+                        rr, ri = gather(
+                            rr, ri, kr,
+                            shifts_c[0][shift_of[tuple(st['shr'])]])
+                    B = 2**nb
+                    M, K = 2**(kl - s - nb), 2**s
+                    N = 2**(kr - s - nb)
+                    Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+                    Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
+
+                    def mm(x, y):
+                        return lax.dot_general(
+                            x, y, (((2,), (1,)), ((0,), (0,))),
+                            precision=precision)
+
+                    cr = mm(Ar, Br) - mm(Ai, Bi)
+                    ci = mm(Ar, Bi) + mm(Ai, Br)
+                    vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+                if is_last:
+                    re, im = vals[self.plan.root]
+                    w = (sid_raw >= 0).astype(self.float_type)
+                    return (carry[0] + w * re, carry[1] + w * im), ()
+                return carry, tuple(vals[v] for v in out_nodes)
+
+            def run(ids, bound_in, leaves, shifts):
+                # close over runtime args via a one-element list so the
+                # scan body sees traced values, not module globals
+                leaves_c[0] = leaves
+                shifts_c[0] = shifts
+                if is_last:
+                    size = int(np.prod(out_shape,
+                                       dtype=np.int64)) or 1
+                    acc0 = (jnp.zeros((size,), self.float_type),
+                            jnp.zeros((size,), self.float_type))
+                else:
+                    acc0 = jnp.zeros((), self.float_type)
+                carry, ys = lax.scan(body, acc0, (ids, bound_in))
+                if not is_last:
+                    return ys
+                re, im = carry
+                if out_shift is not None:
+                    k = len(self.output_order)
+                    i = jnp.arange(2**k, dtype=jnp.int32)
+                    idx = jnp.zeros_like(i)
+                    for j in range(k):
+                        idx = idx | (((i >> (k - 1 - j)) & 1) <<
+                                     int(out_shift[j]))
+                    re, im = jnp.take(re, idx), jnp.take(im, idx)
+                return re, im
+
+            leaves_c = [None]
+            shifts_c = [None]
+            return run
+
+        key = ('flatscan-seg', self.matmul_precision, C,
+               tuple(bounds))
+        fns = self._scan_progs.get(key)
+        if fns is None:
+            t0 = _t.time()
+            f32 = self.float_type
+            i32 = jnp.int32
+            ids_s = jax.ShapeDtypeStruct((C,), i32)
+            lv = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (leaves, shift_vals))
+            fns = []
+            bound_s = ()
+            for k_seg, seg in enumerate(segs):
+                in_nodes = live_at_cut[k_seg - 1] if k_seg else []
+                out_nodes = live_at_cut[k_seg] \
+                    if k_seg < n_seg - 1 else []
+                run = make_run(seg, in_nodes, out_nodes,
+                               k_seg == n_seg - 1)
+                fn = jax.jit(run).lower(ids_s, bound_s, *lv).compile()
+                fns.append(fn)
+                bound_s = tuple(
+                    (jax.ShapeDtypeStruct((C, 2**kdim[v]), f32),) * 2
+                    for v in out_nodes)
+            self._scan_progs[key] = fns
+            if verbose:
+                print(f"# flat-scan executor: compiled {n_seg} segment "
+                      f"programs ({[b - a for a, b in zip(bounds, bounds[1:])]} "
+                      f"steps, chunk {C}) in {_t.time()-t0:.1f}s",
+                      file=sys.stderr, flush=True)
+
+        acc = None
+        for lo in range(start, stop, C):
+            ids_np = np.full(C, -1, dtype=np.int32)
+            m = min(C, stop - lo)
+            ids_np[:m] = np.arange(lo, lo + m, dtype=np.int32)
+            ids = jnp.asarray(ids_np)
+            bound = ()
+            for k_seg, fn in enumerate(fns):
+                out = fn(ids, bound, leaves, shift_vals)
+                bound = out
+            re, im = out
             acc = (re, im) if acc is None else (acc[0] + re,
                                                 acc[1] + im)
         out = np.asarray(acc[0]).astype(self.complex_type)

@@ -110,6 +110,44 @@ def test_tn_sliced_jax_and_mesh():
                                    psi[(0,) * n], atol=ATOL)
 
 
+def test_tn_segmented_flat_scan_matches():
+    """The segmented scanned executor (long chains split into pipelined
+    segment programs with boundary tensors crossing the cuts) must
+    reproduce the numpy contraction, including partial slice ranges."""
+    from hybridq_tpu.circuit import utils as cutils
+    from hybridq_tpu.simulation.tn.contract import (ContractionPlan,
+                                                    SlicedContractor)
+    from hybridq_tpu.simulation.tn.network import build_tn
+    from hybridq_tpu.simulation.tn.path import find_path
+    from hybridq_tpu.simulation.tn.slicer import slice_and_reconfigure
+
+    np.random.seed(7)
+    n = 10
+    c = Circuit([Gate('H', [q]) for q in range(n)]) + \
+        get_rqc(n, 60, indexes=list(range(n)))
+    blocks = cutils.compress(c, 2)
+    c2 = Circuit(cutils.to_matrix_gate(b) for b in blocks)
+    net, oo = build_tn(c2, '0' * n, '0' * n)
+    inputs = [t.inds for t in net.tensors]
+    sd = {i: d for t in net.tensors for i, d in zip(t.inds,
+                                                    t.data.shape)}
+    tree = find_path(inputs, oo, sd, max_repeats=4, seed=0)
+    tree, sliced, _ = slice_and_reconfigure(tree, target_size=2**5,
+                                            time_budget=2)
+    plan = ContractionPlan(tree, sliced)
+    sc = SlicedContractor(plan, net.tensors, oo)
+    want = sc.contract_np()
+    sc.scan_seg_steps = 7     # force several segments
+    sc.scan_chunk = 8
+    got = sc.contract_jax_flat_scan()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    if sc.nslices > 1:
+        half = sc.nslices // 2
+        part = sc.contract_jax_flat_scan(slice_range=(0, half)) + \
+            sc.contract_jax_flat_scan(slice_range=(half, sc.nslices))
+        np.testing.assert_allclose(part, want, atol=1e-6)
+
+
 def test_tn_two_phase_plan_reuse():
     """tensor_only=True returns (net, (info, tree)) reusable later with a
     different memory limit (reference ``tests.py:2307-2332``)."""
