@@ -50,6 +50,40 @@ _MAX_KE = 4              # largest compiled (stack+group) exponent
 _MAX_KL = 2              # lane bits handled per swap application
 
 
+def _econ_park_count(n, phys, logi, bits_log, high) -> int:
+    """How many gate high bits to park on free sublane slots BEFORE
+    routing (0 = apply directly).  One row gather re-homes any number
+    of bits at once, so the choice is the ``c`` minimizing
+    ``park + class(k_hi - c)`` vs the direct class — profitable
+    whenever the direct class is MXU-bound (fused k_hi >= 3 costs
+    2-4x k_hi <= 2; the gather is one HBM pass).  Pure function of the
+    slot map, mirrored exactly by ``MapSim.route_gate``."""
+    phys_bits = [phys[b] for b in bits_log]
+    k_l = sum(1 for b in phys_bits if b < 7)
+    if k_l > _MAX_KL:
+        return 0            # lane eviction must run first
+    k_hi = sum(1 for b in phys_bits if b >= 12)
+    free_sub = sum(1 for s in range(7, 12) if logi[s] not in bits_log)
+    c_max = min(k_hi, free_sub)
+    if c_max <= 0:
+        return 0
+
+    def cls_cost(kh):
+        if kh + k_l > _MAX_KE:
+            return float('inf')
+        if k_l == 0:
+            return _step_cost(('fused', kh), n, high)
+        return _step_cost(('swap', kh + k_l, k_l), n, high)
+
+    park = _step_cost(('park',), n, high)
+    best_c, best = 0, cls_cost(k_hi)
+    for c in range(1, c_max + 1):
+        v = park + cls_cost(k_hi - c)
+        if v < best - 1e-9:
+            best_c, best = c, v
+    return best_c
+
+
 class _NeedHighSlots(RuntimeError):
     """Swap path found fewer free high slots than victims needed."""
 
@@ -73,10 +107,13 @@ class FusedEvolver:
         if self.n < MIN_FUSED_QUBITS:
             raise ValueError(
                 f"FusedEvolver needs n >= {MIN_FUSED_QUBITS}")
-        if str(precision).lower() != 'highest':
+        precision = str(precision).lower()
+        if precision not in ('highest', 'high'):
             raise ValueError(
-                "fused kernels run precision='highest' only (exact-f32 "
-                "dots; bf16 variants are not implemented)")
+                "fused kernels run precision='highest' (exact f32, "
+                "6-pass bf16 dots) or 'high' (3-pass bf16, ~2x faster "
+                "MXU-bound classes, ~1e-6-grade instead of ~1e-7)")
+        self.high = precision == 'high'
         self.interpret = bool(interpret)
         # phys[b] = physical slot of logical flat bit b; lanes are
         # slots 0-6, rows 7..n-1 (stack is fixed at the top row bit
@@ -190,9 +227,10 @@ class FusedEvolver:
     def _kernel(self, kind, cls):
         if kind == 'fused':
             return fused_kernel(self.n, cls[0],
-                                interpret=self.interpret)
+                                interpret=self.interpret,
+                                high=self.high)
         return swap_kernel(self.n, cls[0], cls[1],
-                           interpret=self.interpret)
+                           interpret=self.interpret, high=self.high)
 
     # -- application ---------------------------------------------------
     def apply_gate(self, state, U: np.ndarray,
@@ -205,6 +243,15 @@ class FusedEvolver:
 
         prep = None
         for _ in range(6):
+            # Economic parking: one row gather re-homing gate high
+            # bits onto free sublane slots (identity-extension = free)
+            # when park + the cheaper class beats the direct class
+            # (fused k_hi>=3 is MXU-bound and costs 2-4x k_hi<=2).
+            c = _econ_park_count(self.n, self.phys, self.logi,
+                                 bits_log, self.high)
+            if c:
+                state = self._free_high_slots(state, bits_log, c)
+                self.last_steps.append(('park',))
             try:
                 prep = self._prepare(U, qubits, gate_key=gate_key)
                 if prep is not None:
@@ -244,7 +291,8 @@ class FusedEvolver:
         W = build_w_swap(self.n, np.eye(2 ** k_l), phys_bits,
                          victim_slots)
         i32 = jnp.int32
-        fn = swap_kernel(self.n, k_l, k_l, interpret=self.interpret)
+        fn = swap_kernel(self.n, k_l, k_l, interpret=self.interpret,
+                         high=self.high)
         state = fn(state, jnp.asarray(W), jnp.asarray(Ms),
                    jnp.asarray(h_offs, i32),
                    jnp.asarray([rest_mask], i32))
@@ -475,26 +523,30 @@ _SWAP_COST = {(1, 1): 22.9, (2, 1): 23.7, (3, 1): 32.3, (4, 1): 47.0,
 _PARK_COST = 16.0        # one row-gather pass
 
 
-def _step_cost(step, n: int) -> float:
+def _step_cost(step, n: int, high: bool = False) -> float:
     from hybridq_tpu.simulation.kernels import (_calibration,
                                                 _device_kind)
 
     calib = _calibration()
     kind = step[0]
+    hs = 'h' if high else ''
     if kind == 'park':
+        # XLA row gather: precision-independent.
         base, key = _PARK_COST, f"{_device_kind()}|fpark|0|0|0"
     elif kind == 'evict':
         kl = step[1]
         base = _SWAP_COST.get((kl, kl), 40.0)
-        key = f"{_device_kind()}|fswap|{kl}|{kl}|{kl}"
+        key = f"{_device_kind()}|fswap{hs}|{kl}|{kl}|{kl}"
     elif kind == 'fused':
         base = _FUSED_COST.get(step[1], 60.0)
-        key = f"{_device_kind()}|ffused|{step[1]}|{step[1]}|0"
+        key = f"{_device_kind()}|ffused{hs}|{step[1]}|{step[1]}|0"
     else:  # swap
         ke, kl = step[1], step[2]
         base = _SWAP_COST.get((ke, kl), 70.0)
-        key = f"{_device_kind()}|fswap|{ke}|{ke}|{kl}"
+        key = f"{_device_kind()}|fswap{hs}|{ke}|{ke}|{kl}"
     meas = calib.get(key)
+    if meas is None and high:
+        meas = calib.get(key.replace(hs + '|', '|', 1))
     if meas is not None:
         n_meas, ms = meas
         return max(0.5, float(ms) * 2.0 ** (n - float(n_meas)))
@@ -504,19 +556,20 @@ def _step_cost(step, n: int) -> float:
 class MapSim:
     """Clonable mirror of FusedEvolver's slot map + routing."""
 
-    __slots__ = ('n', 'phys', 'logi')
+    __slots__ = ('n', 'phys', 'logi', 'high')
 
-    def __init__(self, n, phys=None, logi=None):
+    def __init__(self, n, phys=None, logi=None, high=False):
         self.n = n
         self.phys = list(phys) if phys else list(range(n))
         self.logi = list(logi) if logi else list(range(n))
+        self.high = bool(high)
 
     @classmethod
     def of(cls, ev: 'FusedEvolver') -> 'MapSim':
-        return cls(ev.n, ev.phys, ev.logi)
+        return cls(ev.n, ev.phys, ev.logi, ev.high)
 
     def clone(self) -> 'MapSim':
-        return MapSim(self.n, self.phys, self.logi)
+        return MapSim(self.n, self.phys, self.logi, self.high)
 
     def _victims(self, k, exclude):
         cands = sorted(
@@ -555,6 +608,11 @@ class MapSim:
         bits_log = [n - 1 - q for q in qubits]
         steps = []
         for _ in range(6):
+            c = _econ_park_count(n, self.phys, self.logi, bits_log,
+                                 self.high)
+            if c:
+                self._park(bits_log, c)
+                steps.append(('park',))
             phys_bits = [self.phys[b] for b in bits_log]
             lane = sorted((b for b in phys_bits if b < 7),
                           reverse=True)
@@ -590,8 +648,8 @@ class MapSim:
         """Cost (ms) of applying a gate on ``qubits`` NOW, without
         mutating this sim."""
         sim = self.clone()
-        return sum(_step_cost(s, self.n) for s in sim.route_gate(
-            qubits))
+        return sum(_step_cost(s, self.n, self.high)
+                   for s in sim.route_gate(qubits))
 
 
 def pair_fused_gates(items, n: int, sim: MapSim = None,
@@ -618,7 +676,7 @@ def pair_fused_gates(items, n: int, sim: MapSim = None,
             cost = sim.route_cost(tuple(qs_set))
         except (NotImplementedError, RuntimeError):
             cost = 1e9
-        min_profit = 0.16 * _step_cost(('fused', 1), n)
+        min_profit = 0.16 * _step_cost(('fused', 1), n, sim.high)
         while len(qs_set) < max_k:
             blocked: set = set()
             best_j, best_profit, best = None, min_profit, None
@@ -742,11 +800,13 @@ class _FusedCalibrator:
                 continue
             ms = max((_t.perf_counter() - t0 - t_sync) / reps,
                      1e-4) * 1e3
+            hs = 'h' if ev.high else ''
             if kind == 'fused':
-                key = f"{_device_kind()}|ffused|{cls[0]}|{cls[0]}|0"
+                key = (f"{_device_kind()}|ffused{hs}|{cls[0]}|"
+                       f"{cls[0]}|0")
             else:
                 ke, kl = cls
-                key = f"{_device_kind()}|fswap|{ke}|{ke}|{kl}"
+                key = f"{_device_kind()}|fswap{hs}|{ke}|{ke}|{kl}"
             out[key] = [n, round(ms, 3)]
             if verbose:
                 print(f"# fused calibrate {spec}: {ms:.1f} ms",

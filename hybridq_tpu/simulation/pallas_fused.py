@@ -173,14 +173,14 @@ def _pick_r_blk(k_hi: int, n_rest: int, target_rows: int = 2048):
 
 
 def fused_kernel(n: int, k_hi: int, interpret: bool = False,
-                 nbuf: int = 2):
+                 nbuf: int = 2, high: bool = False):
     """Jitted in-place fused gate application for the (n, k_hi) class:
     ``apply(state[2^(n-6), 128], W[K2, K2], h_offs[H2], info[1]) ->
     state`` with ``info[0] = rest_mask``.  One compiled program per
     class; positions enter only through ``h_offs``/``rest_mask``/
     ``W`` — zero recompiles across gates (``include/U.h:123-202``
     semantics)."""
-    key = (n, k_hi, interpret, nbuf)
+    key = (n, k_hi, interpret, nbuf, high)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -190,6 +190,7 @@ def fused_kernel(n: int, k_hi: int, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    PREC = jax.lax.Precision.HIGH if high else jax.lax.Precision.HIGHEST
     R = FUSED_RUN_ROWS
     H2 = 2 ** (k_hi + 1)
     K2 = H2 * R
@@ -267,7 +268,7 @@ def fused_kernel(n: int, k_hi: int, interpret: bool = False,
                 # to compile at K2 = 1024 (4 MB).
                 ys = jax.lax.dot_general(
                     w_ref[...], xs, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=PREC,
                     preferred_element_type=jnp.float32)
                 sout[slot, pl.ds(i * K2, K2), :] = ys
             start_scatter(slot)
@@ -443,12 +444,12 @@ def build_w_swap(n: int, U: np.ndarray, bits: Sequence[int],
 
 
 def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
-                nbuf: int = 2):
+                nbuf: int = 2, high: bool = False):
     """Jitted in-place swap-path application for the (n, ke, k_l)
     class (``ke = k_hi + k_l`` victim+high group bits):
     ``apply(state, W[K2,K2], Ms[T,T,128,128], h_offs[H2], info[1])``.
     ``k_l = 0`` degenerates to the pure row-dot (``fused_kernel``)."""
-    key = ('swap', n, ke, k_l, interpret, nbuf)
+    key = ('swap', n, ke, k_l, interpret, nbuf, high)
     fn = _FUSED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -458,6 +459,7 @@ def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    PREC = jax.lax.Precision.HIGH if high else jax.lax.Precision.HIGHEST
     R = FUSED_RUN_ROWS
     T = 2 ** k_l
     H2 = 2 ** (ke + 1)
@@ -537,8 +539,7 @@ def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
                                 m = ms_ref[u, w2]
                                 d = jax.lax.dot_general(
                                     xs, m, (((1,), (0,)), ((), ())),
-                                    precision=jax.lax.Precision
-                                    .HIGHEST,
+                                    precision=PREC,
                                     preferred_element_type=jnp.float32)
                                 acc = d if acc is None else acc + d
                             ytmp[pl.ds((st * T + w2) * G, G), :] = acc
@@ -546,7 +547,7 @@ def swap_kernel(n: int, ke: int, k_l: int, interpret: bool = False,
                 # w_ref[...] inside the dot (see fused_kernel note)
                 out = jax.lax.dot_general(
                     w_ref[...], ys, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=PREC,
                     preferred_element_type=jnp.float32)
                 sout[slot, pl.ds(base, K2), :] = out
             start_scatter(slot)

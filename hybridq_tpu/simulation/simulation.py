@@ -339,7 +339,8 @@ def _use_fused(sub, n_qubits, complex_type, kwargs) -> bool:
         return False
     if complex_type != np.dtype('complex64'):
         return False
-    if kwargs.get('matmul_precision', 'highest') != 'highest':
+    if kwargs.get('matmul_precision', 'highest') not in ('highest',
+                                                         'high'):
         return False
     try:
         import jax
@@ -362,6 +363,8 @@ def _evolve_fused(blocks, qubits, qubit_index, initial_state,
 
     n_qubits = len(qubits)
     ev = FusedEvolver(n_qubits,
+                      precision=kwargs.get('matmul_precision',
+                                           'highest'),
                       interpret=bool(kwargs.get('fused_interpret',
                                                 False)))
 

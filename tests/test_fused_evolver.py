@@ -193,6 +193,26 @@ def test_pair_fused_gates(seed):
                                ev_b.gather(sb).reshape(-1), atol=ATOL)
 
 
+def test_econ_parking_routes_cheap_class():
+    """At production n the router parks high gate bits onto free
+    sublane slots when one row gather + a cheap class beats the
+    MXU-bound direct class (fused k_hi>=3 costs 2-4x k_hi<=2)."""
+    from hybridq_tpu.simulation.fused_evolver import MapSim, _step_cost
+
+    n = 29
+    sim = MapSim(n)
+    # 4q gate on qubits 0..3 -> bits 25..28, all high slots: direct
+    # class would be fused(4).
+    steps = sim.route_gate((0, 1, 2, 3))
+    direct = _step_cost(('fused', 4), n, False)
+    routed = sum(_step_cost(s, n, False) for s in steps)
+    assert routed < direct, (steps, routed, direct)
+    assert steps[0] == ('park',), steps
+    # The parked layout must be internally consistent.
+    assert sorted(sim.phys) == list(range(n))
+    assert all(sim.logi[sim.phys[b]] == b for b in range(n))
+
+
 def test_simulate_dispatch_fused(seed):
     """optimize='evolution-fused' through the public simulate() API
     (interpret mode) matches the indexed engine."""
