@@ -50,7 +50,8 @@ _MAX_KE = 4              # largest compiled (stack+group) exponent
 _MAX_KL = 2              # lane bits handled per swap application
 
 
-def _econ_park_count(n, phys, logi, bits_log, high) -> int:
+def _econ_park_count(n, phys, logi, bits_log, high,
+                     inplace=False) -> int:
     """How many gate high bits to park on free sublane slots BEFORE
     routing (0 = apply directly).  One row gather re-homes any number
     of bits at once, so the choice is the ``c`` minimizing
@@ -75,9 +76,10 @@ def _econ_park_count(n, phys, logi, bits_log, high) -> int:
             return _step_cost(('fused', kh), n, high)
         return _step_cost(('swap', kh + k_l, k_l), n, high)
 
-    park = _step_cost(('park',), n, high)
     best_c, best = 0, cls_cost(k_hi)
     for c in range(1, c_max + 1):
+        park = _step_cost(('ipark', c) if inplace else ('park',),
+                          n, high)
         v = park + cls_cost(k_hi - c)
         if v < best - 1e-9:
             best_c, best = c, v
@@ -102,11 +104,17 @@ class FusedEvolver:
     """
 
     def __init__(self, n_qubits: int, precision: str = 'highest',
-                 interpret: bool = False):
+                 interpret: bool = False, inplace=None):
         self.n = int(n_qubits)
         if self.n < MIN_FUSED_QUBITS:
             raise ValueError(
                 f"FusedEvolver needs n >= {MIN_FUSED_QUBITS}")
+        # In-place-only mode: parks run as permutation-W kernel passes
+        # instead of XLA row gathers (which need 2x state memory) —
+        # REQUIRED at the 30q single-chip ceiling, where the 8.6 GB
+        # state forbids any second state-sized buffer.
+        self.inplace = bool(self.n >= 30 if inplace is None
+                            else inplace)
         precision = str(precision).lower()
         if precision not in ('highest', 'high'):
             raise ValueError(
@@ -164,6 +172,44 @@ class FusedEvolver:
             other = self.logi[s]
             new_phys[b], new_phys[other] = s, self.phys[b]
         return self._row_permute(state, new_phys)
+
+    def _park_pass(self, state, bits_log, count):
+        """In-place alternative to ``_free_high_slots``: exchange
+        ``count`` gate high bits with free-sublane residents via ONE
+        fused-kernel pass whose W is the pair-SWAP permutation (class
+        ``fused(count)``).  The XLA row-gather park needs 2x state
+        memory (input + gathered output); this pass writes in place,
+        so it is the only park admissible at the 30q single-chip
+        ceiling (8.6 GB state on 16 GB HBM)."""
+        import jax.numpy as jnp
+
+        gate_hi = [b for b in bits_log if self.phys[b] >= 12][:count]
+        free_sub = [s for s in range(7, 12)
+                    if self.logi[s] not in bits_log][:count]
+        if len(gate_hi) < count or len(free_sub) < count:
+            raise RuntimeError(
+                "cannot free enough high slots for the swap path "
+                f"(n={self.n} too small for this gate)")
+        phys_bits = []
+        for b, s in zip(gate_hi, free_sub):
+            phys_bits += [self.phys[b], s]
+        SW = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                       [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.float64)
+        U = np.array([[1.0]])
+        for _ in range(count):
+            U = np.kron(U, SW)
+        W, h_offs, rest_mask = build_w(self.n, U, phys_bits)
+        fn = fused_kernel(self.n, count, interpret=self.interpret,
+                          high=self.high)
+        i32 = jnp.int32
+        state = fn(state, jnp.asarray(W), jnp.asarray(h_offs, i32),
+                   jnp.asarray([rest_mask], i32))
+        for b, s in zip(gate_hi, free_sub):
+            other = self.logi[s]
+            pb = self.phys[b]
+            self.phys[b], self.phys[other] = s, pb
+            self.logi[s], self.logi[pb] = b, other
+        return state
 
     def _apply_swap_relabel(self, lane_slots, victim_slots):
         """Record the lane<->victim physical exchange."""
@@ -248,10 +294,14 @@ class FusedEvolver:
             # when park + the cheaper class beats the direct class
             # (fused k_hi>=3 is MXU-bound and costs 2-4x k_hi<=2).
             c = _econ_park_count(self.n, self.phys, self.logi,
-                                 bits_log, self.high)
+                                 bits_log, self.high, self.inplace)
             if c:
-                state = self._free_high_slots(state, bits_log, c)
-                self.last_steps.append(('park',))
+                if self.inplace:
+                    state = self._park_pass(state, bits_log, c)
+                    self.last_steps.append(('ipark', c))
+                else:
+                    state = self._free_high_slots(state, bits_log, c)
+                    self.last_steps.append(('park',))
             try:
                 prep = self._prepare(U, qubits, gate_key=gate_key)
                 if prep is not None:
@@ -261,9 +311,13 @@ class FusedEvolver:
                 state = self._evict_lanes(state, keep=set(bits_log))
             except _NeedHighSlots as e:
                 # park gate high bits on free sublane slots
-                state = self._free_high_slots(state, bits_log,
-                                              e.missing)
-                self.last_steps.append(('park',))
+                if self.inplace:
+                    state = self._park_pass(state, bits_log, e.missing)
+                    self.last_steps.append(('ipark', e.missing))
+                else:
+                    state = self._free_high_slots(state, bits_log,
+                                                  e.missing)
+                    self.last_steps.append(('park',))
         if prep is None:
             raise NotImplementedError("lane eviction failed")
         kind, cls, dev_args, relabel = prep
@@ -318,14 +372,59 @@ class FusedEvolver:
 
     # -- state ---------------------------------------------------------
     def prepare_state(self, state: str):
+        """Token product state built ON DEVICE: no 2^n host transfer
+        (the tunnel upload of an 8.6 GB 30q state takes minutes) and
+        no concatenate doubling (zeros + row-slice update alias inside
+        one jit, so peak memory is ~1.5x the state, admitting the
+        single-chip 30q ceiling on a 16 GB part)."""
+        import jax
         import jax.numpy as jnp
 
-        from hybridq_tpu.simulation.prepare import prepare_state_split
+        from hybridq_tpu.simulation.prepare import (TOKEN_VECTORS,
+                                                    _check_state)
 
-        re, im = prepare_state_split(state, float_type='float32')
-        flat = jnp.concatenate([jnp.reshape(re, -1),
-                                jnp.reshape(im, -1)])
-        return jnp.reshape(flat, (2 ** (self.n - 6), 128))
+        n = self.n
+        state = _check_state(state, 2)
+        if len(state) != n:
+            raise ValueError("Wrong number of qubits for state.")
+        # Token amplitudes are real: re = outer(row_amp, lane_amp).
+        row_amp = np.array([1.0], dtype=np.float32)
+        for s in state[:n - 7]:
+            row_amp = np.multiply.outer(
+                row_amp, TOKEN_VECTORS[s].astype(np.float32)).reshape(-1)
+        lane_amp = np.array([1.0], dtype=np.float32)
+        for s in state[n - 7:]:
+            lane_amp = np.multiply.outer(
+                lane_amp, TOKEN_VECTORS[s].astype(np.float32)).reshape(-1)
+
+        fn = self._rowmap_cache.get('prep')
+        if fn is None:
+            def build(row_amp, lane_amp):
+                st = jnp.zeros((2 ** (n - 6), 128), jnp.float32)
+                re = row_amp[:, None] * lane_amp[None, :]
+                return st.at[:2 ** (n - 7)].set(re)
+
+            fn = jax.jit(build)
+            self._rowmap_cache['prep'] = fn
+        return fn(jnp.asarray(row_amp), jnp.asarray(lane_amp))
+
+    def amplitude_location(self, i: int):
+        """Physical ``(row_re, col, row_im)`` of logical flat amplitude
+        ``i`` under the CURRENT slot map — readback without a flush
+        (whose row gather needs 2x state memory, impossible at the
+        30q single-chip ceiling)."""
+        p = 0
+        for b in range(self.n):
+            if (i >> b) & 1:
+                p |= 1 << self.phys[b]
+        r, c = divmod(p, 128)
+        return r, c, r + 2 ** (self.n - 7)
+
+    def amplitude(self, state, i: int) -> complex:
+        r, c, ri = self.amplitude_location(int(i))
+        return complex(
+            float(np.asarray(state[r:r + 1, c:c + 1])[0, 0]),
+            float(np.asarray(state[ri:ri + 1, c:c + 1])[0, 0]))
 
     def _row_permute(self, state, new_phys):
         """One XLA gather re-homing ROW bits (slots >= 7) so logical
@@ -533,6 +632,11 @@ def _step_cost(step, n: int, high: bool = False) -> float:
     if kind == 'park':
         # XLA row gather: precision-independent.
         base, key = _PARK_COST, f"{_device_kind()}|fpark|0|0|0"
+    elif kind == 'ipark':
+        # In-place park = one fused(c) permutation pass.
+        c = step[1]
+        base = _FUSED_COST.get(c, 60.0)
+        key = f"{_device_kind()}|ffused{hs}|{c}|{c}|0"
     elif kind == 'evict':
         kl = step[1]
         base = _SWAP_COST.get((kl, kl), 40.0)
@@ -556,20 +660,23 @@ def _step_cost(step, n: int, high: bool = False) -> float:
 class MapSim:
     """Clonable mirror of FusedEvolver's slot map + routing."""
 
-    __slots__ = ('n', 'phys', 'logi', 'high')
+    __slots__ = ('n', 'phys', 'logi', 'high', 'inplace')
 
-    def __init__(self, n, phys=None, logi=None, high=False):
+    def __init__(self, n, phys=None, logi=None, high=False,
+                 inplace=False):
         self.n = n
         self.phys = list(phys) if phys else list(range(n))
         self.logi = list(logi) if logi else list(range(n))
         self.high = bool(high)
+        self.inplace = bool(inplace)
 
     @classmethod
     def of(cls, ev: 'FusedEvolver') -> 'MapSim':
-        return cls(ev.n, ev.phys, ev.logi, ev.high)
+        return cls(ev.n, ev.phys, ev.logi, ev.high, ev.inplace)
 
     def clone(self) -> 'MapSim':
-        return MapSim(self.n, self.phys, self.logi, self.high)
+        return MapSim(self.n, self.phys, self.logi, self.high,
+                      self.inplace)
 
     def _victims(self, k, exclude):
         cands = sorted(
@@ -609,10 +716,11 @@ class MapSim:
         steps = []
         for _ in range(6):
             c = _econ_park_count(n, self.phys, self.logi, bits_log,
-                                 self.high)
+                                 self.high, self.inplace)
             if c:
                 self._park(bits_log, c)
-                steps.append(('park',))
+                steps.append(('ipark', c) if self.inplace
+                             else ('park',))
             phys_bits = [self.phys[b] for b in bits_log]
             lane = sorted((b for b in phys_bits if b < 7),
                           reverse=True)
@@ -641,7 +749,8 @@ class MapSim:
                 self._relabel(to_move, victims)
             except _NeedHighSlots as e:
                 self._park(bits_log, e.missing)
-                steps.append(('park',))
+                steps.append(('ipark', e.missing) if self.inplace
+                             else ('park',))
         raise NotImplementedError("route did not settle")
 
     def route_cost(self, qubits) -> float:

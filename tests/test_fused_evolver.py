@@ -193,6 +193,71 @@ def test_pair_fused_gates(seed):
                                ev_b.gather(sb).reshape(-1), atol=ATOL)
 
 
+def test_inplace_mode_matches_oracle(seed):
+    """inplace=True (the 30q mode: parks are permutation-W kernel
+    passes, no XLA row gather) must match the oracle, including the
+    slot-map-aware ``amplitude`` readback without flush."""
+    n = 17
+    rng = np.random.default_rng(seed)
+    gates = []
+    for _ in range(8):
+        k = int(rng.integers(1, 5))
+        qs = tuple(int(q) for q in rng.choice(n, k, replace=False))
+        gates.append((_rand_u(k, rng), qs))
+
+    ev = FusedEvolver(n, interpret=True, inplace=True)
+    state = ev.prepare_state('0' * n)
+    want = np.zeros(2**n, dtype=complex)
+    want[0] = 1
+    for U, qs in gates:
+        want = _oracle(want, U, qs, n)
+        state = ev.apply_gate(state, U, qs)
+    # slot-map-aware readback (no flush)
+    idx = rng.choice(2**n, 32, replace=False)
+    for i in idx:
+        got = ev.amplitude(state, int(i))
+        assert abs(got - want[int(i)]) < ATOL, (i, got, want[int(i)])
+    # full gather still works at small n
+    got_all = ev.gather(state).reshape(-1)
+    np.testing.assert_allclose(got_all, want, atol=ATOL)
+
+
+def test_device_prepare_state_tokens():
+    """The device-side token builder matches the host product state."""
+    from hybridq_tpu.simulation.prepare import prepare_state
+
+    n = 15
+    for tokens in ('0' * n, '+' * n, ('01+-' * 4)[:n]):
+        ev = FusedEvolver(n, interpret=True)
+        st = ev.prepare_state(tokens)
+        got = ev.gather(st).reshape(-1)
+        want = prepare_state(tokens,
+                             complex_type='complex128').reshape(-1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mapsim_mirrors_engine_inplace(seed):
+    """MapSim must mirror the inplace-mode routing trace too."""
+    from hybridq_tpu.simulation.fused_evolver import MapSim
+
+    n = 17
+    rng = np.random.default_rng(seed)
+    ev = FusedEvolver(n, interpret=True, inplace=True)
+    sim = MapSim.of(ev)
+    st = ev.prepare_state('0' * n)
+    for _ in range(10):
+        k = int(rng.integers(1, 5))
+        qs = tuple(int(q) for q in rng.choice(n, k, replace=False))
+        U = _rand_u(k, rng)
+        want_steps = sim.route_gate(qs)
+        ev.last_steps = []
+        st = ev.apply_gate(st, U, qs)
+        assert ev.last_steps == want_steps, (qs, ev.last_steps,
+                                             want_steps)
+        assert sim.phys == ev.phys
+        assert sim.logi == ev.logi
+
+
 def test_econ_parking_routes_cheap_class():
     """At production n the router parks high gate bits onto free
     sublane slots when one row gather + a cheap class beats the
