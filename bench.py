@@ -44,7 +44,7 @@ def _workload(n, k, n_gates, rng, min_bit=0):
 
 
 def bench_tpu_fused(n, k=4, n_gates=24, seed=0, reps=3,
-                    parity_samples=16):
+                    parity_samples=16, precision='highest'):
     """Fused Pallas engine throughput + reference-parity samples.
 
     Returns ``(gates_per_s, compile_s, amps)`` where ``amps`` maps
@@ -53,18 +53,22 @@ def bench_tpu_fused(n, k=4, n_gates=24, seed=0, reps=3,
     reference C++ core running the identical workload on the host).
 
     Gate positions avoid the reference's SIMD pack bits (min_bit=3,
-    ``simulation.py:556-630``) so both sides share one workload."""
+    ``simulation.py:556-630``) so both sides share one workload.
+    Amplitudes read back through the slot map (``ev.amplitude``), so
+    no flush is needed — at 30q a flush's row gather would need 2x
+    state memory."""
     from hybridq_tpu.simulation.fused_evolver import (FusedEvolver,
                                                       calibrate_fused,
                                                       pair_fused_gates)
 
     rng = np.random.default_rng(seed)
     gates = _workload(n, k, n_gates, rng, min_bit=3)
-    blocks = pair_fused_gates(gates, n)
+    ev = FusedEvolver(n, precision=precision)
+    from hybridq_tpu.simulation.fused_evolver import MapSim
+    blocks = pair_fused_gates(gates, n, MapSim.of(ev))
     sys.stderr.write(f"# fused-paired {n_gates} gates -> "
                      f"{len(blocks)} blocks "
                      f"(sizes {sorted(len(q) for _, q in blocks)})\n")
-    ev = FusedEvolver(n)
 
     t0 = time.perf_counter()
     ev.warm(verbose=True)
@@ -79,18 +83,9 @@ def bench_tpu_fused(n, k=4, n_gates=24, seed=0, reps=3,
     # Parity pass: ONE application from |0>, sampled amplitudes.
     state = ev.prepare_state('0' * n)
     state = run_pass(state)
-    state = ev.flush(state)
     idx = np.random.default_rng(seed + 1).choice(2**n, parity_samples,
                                                  replace=False)
-    amps = {}
-    flat = 2**n
-    for i in idx:
-        i = int(i)
-        r, c = divmod(i, 128)
-        ri, ci = divmod(i + flat, 128)
-        re = float(np.asarray(state[r:r + 1, c:c + 1])[0, 0])
-        im = float(np.asarray(state[ri:ri + 1, ci:ci + 1])[0, 0])
-        amps[i] = complex(re, im)
+    amps = {int(i): ev.amplitude(state, int(i)) for i in idx}
 
     # Throughput: warm passes until the slot-map orbit REPEATS a
     # pass-boundary state (victim policy is map-pure, so it must) —
@@ -290,10 +285,12 @@ def main():
     from hybridq_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    # Largest single-chip size (29q on a 16 GB part: the fused engine
-    # keeps ~8 B/amp resident + transient copies; the old XLA engine's
-    # 24 B/amp gather working set capped it at 28).
-    n = min(29, _max_qubits_single_chip(bytes_per_amp=16))
+    # Largest single-chip size (30q on a 16 GB part: the fused engine
+    # keeps 8 B/amp resident, applies every kernel in place, and in
+    # inplace mode even parks without a second state-sized buffer; the
+    # only transient above the state is the device-side prepare's
+    # ~0.5x row-slice update).
+    n = min(30, _max_qubits_single_chip(bytes_per_amp=12))
 
     # The reference C++ baseline runs on the host CPU concurrently with
     # the TPU compile/measure (the host is idle while the remote compile
@@ -302,7 +299,9 @@ def main():
 
     def _ref():
         try:
-            ref_out['v'] = bench_reference_cpp(n)
+            # reps=2: at 30q one pass is ~4 min on this 2-core host;
+            # the thread overlaps the TPU compile/measure.
+            ref_out['v'] = bench_reference_cpp(n, reps=2)
         except Exception as e:
             sys.stderr.write(f"# baseline failed: {type(e).__name__}\n")
 
@@ -327,7 +326,7 @@ def main():
     # Reference C++ baseline + the 1e-6-grade parity check the round-3
     # review called for (both engines ran the identical workload).
     vs = None
-    ref_thread.join(timeout=600)
+    ref_thread.join(timeout=1800)
     ref = ref_out.get('v')
     if ref:
         ref_rate, ref_amps = ref

@@ -424,6 +424,29 @@ class SlicedContractor:
             meta.append((base, tuple(terms)))
         return meta
 
+    def _packed_leaves(self):
+        """All leaf tensors packed into ONE split flat pair (re, im)
+        plus per-leaf offsets.  The scanned programs then take 2 leaf
+        operands instead of 2*n_leaves separate buffers (~800 runtime
+        arguments at Sycamore-53 depth 20 — dispatching that arity
+        crashed the TPU worker outright; per-step programs with <= 6
+        arguments ran the identical math fine)."""
+        out = getattr(self, '_packed', None)
+        if out is None:
+            offs = []
+            off = 0
+            for d in self.datas:
+                offs.append(off)
+                off += d.size
+            re_all = np.concatenate(
+                [d.real.reshape(-1).astype(self.float_type)
+                 for d in self.datas])
+            im_all = np.concatenate(
+                [d.imag.reshape(-1).astype(self.float_type)
+                 for d in self.datas])
+            out = self._packed = (tuple(offs), re_all, im_all)
+        return out
+
     def contract_jax_flat_scan(self, slice_range=None,
                                verbose: bool = False):
         """ONE compiled program for the whole slice range: ``lax.scan``
@@ -464,11 +487,12 @@ class SlicedContractor:
         n_leaves = self.plan.tree.n_leaves
         leaf_meta = self._leaf_gather_meta()
 
-        # Runtime inputs: flat leaf pairs + the distinct shift tables.
-        leaves = [(jnp.asarray(d.real.reshape(-1).astype(
-            self.float_type)),
-            jnp.asarray(d.imag.reshape(-1).astype(self.float_type)))
-            for d in self.datas]
+        # Runtime inputs: ONE packed leaf pair + the distinct shift
+        # tables (see _packed_leaves on why not per-leaf buffers).
+        offs, re_h, im_h = self._packed_leaves()
+        re_all = jnp.asarray(re_h)
+        im_all = jnp.asarray(im_h)
+        sizes = [d.size for d in self.datas]
         shift_keys = []
         shift_vals = []
         for st in sched:
@@ -487,10 +511,13 @@ class SlicedContractor:
                 idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
             return jnp.take(x_re, idx), jnp.take(x_im, idx)
 
-        def one_slice(sid, leaves, shifts):
+        def one_slice(sid, re_all, im_all, shifts):
             vals = {}
             for v in range(n_leaves):
-                re, im = leaves[v]
+                re = lax.slice(re_all, (offs[v],),
+                               (offs[v] + sizes[v],))
+                im = lax.slice(im_all, (offs[v],),
+                               (offs[v] + sizes[v],))
                 base, terms = leaf_meta[v]
                 if terms:
                     idx = jnp.asarray(base)
@@ -523,7 +550,7 @@ class SlicedContractor:
                 vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
             return vals[self.plan.root]
 
-        def run(ids, leaves, shifts):
+        def run(ids, re_all, im_all, shifts):
             size = int(np.prod(out_shape, dtype=np.int64)) or 1
             acc0 = (jnp.zeros((size,), self.float_type),
                     jnp.zeros((size,), self.float_type))
@@ -531,7 +558,8 @@ class SlicedContractor:
             def body(acc, sid):
                 # Sentinel ids (< 0) pad the last chunk: weight 0.
                 w = (sid >= 0).astype(self.float_type)
-                re, im = one_slice(jnp.maximum(sid, 0), leaves, shifts)
+                re, im = one_slice(jnp.maximum(sid, 0), re_all,
+                                   im_all, shifts)
                 return (acc[0] + w * re, acc[1] + w * im), None
 
             (re, im), _ = lax.scan(body, acc0, ids)
@@ -563,7 +591,7 @@ class SlicedContractor:
             ids_s = jax.ShapeDtypeStruct((C,), jnp.int32)
             lv = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (leaves, shift_vals))
+                (re_all, im_all, shift_vals))
             fn = jax.jit(run).lower(ids_s, *lv).compile()
             self._scan_progs[key] = fn
             if verbose:
@@ -577,7 +605,8 @@ class SlicedContractor:
             ids_np = np.full(C, -1, dtype=np.int32)
             m = min(C, stop - lo)
             ids_np[:m] = np.arange(lo, lo + m, dtype=np.int32)
-            re, im = fn(jnp.asarray(ids_np), leaves, shift_vals)
+            re, im = fn(jnp.asarray(ids_np), re_all, im_all,
+                        shift_vals)
             acc = (re, im) if acc is None else (acc[0] + re,
                                                 acc[1] + im)
         out = np.asarray(acc[0]).astype(self.complex_type)
@@ -661,10 +690,10 @@ class SlicedContractor:
         C = int(min(self.scan_chunk, max(1, 2**30 // bound_bytes),
                     max(1, stop - start)))
 
-        leaves = [(jnp.asarray(d.real.reshape(-1).astype(
-            self.float_type)),
-            jnp.asarray(d.imag.reshape(-1).astype(self.float_type)))
-            for d in self.datas]
+        offs, re_h, im_h = self._packed_leaves()
+        re_all_dev = jnp.asarray(re_h)
+        im_all_dev = jnp.asarray(im_h)
+        sizes = [d.size for d in self.datas]
         shift_keys = []
         shift_vals = []
         for st in sched:
@@ -684,7 +713,9 @@ class SlicedContractor:
             return jnp.take(x_re, idx), jnp.take(x_im, idx)
 
         def leaf_val(sid, v, leaves):
-            re, im = leaves[v]
+            re_all, im_all = leaves
+            re = lax.slice(re_all, (offs[v],), (offs[v] + sizes[v],))
+            im = lax.slice(im_all, (offs[v],), (offs[v] + sizes[v],))
             base, terms = leaf_meta[v]
             if terms:
                 idx = jnp.asarray(base)
@@ -703,6 +734,7 @@ class SlicedContractor:
                     if v in vals:
                         return vals.pop(v)
                     return leaf_val(sid, v, leaves_c[0])
+
 
                 for st in seg:
                     kl, kr, s, nb, gl, gr = st['key']
@@ -776,7 +808,7 @@ class SlicedContractor:
             ids_s = jax.ShapeDtypeStruct((C,), i32)
             lv = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (leaves, shift_vals))
+                ((re_all_dev, im_all_dev), shift_vals))
             fns = []
             bound_s = ()
             for k_seg, seg in enumerate(segs):
@@ -805,7 +837,8 @@ class SlicedContractor:
             ids = jnp.asarray(ids_np)
             bound = ()
             for k_seg, fn in enumerate(fns):
-                out = fn(ids, bound, leaves, shift_vals)
+                out = fn(ids, bound, (re_all_dev, im_all_dev),
+                         shift_vals)
                 bound = out
             re, im = out
             acc = (re, im) if acc is None else (acc[0] + re,
@@ -1124,19 +1157,25 @@ class SlicedContractor:
             chunk -= 1
         ids = jnp.arange(start, stop, dtype=jnp.int32).reshape(-1, chunk)
 
-        @jax.jit
-        def run(ids, leaves):
-            def body(acc, chunk_ids):
-                re, im = jax.vmap(
-                    lambda s: one_slice(s, leaves))(chunk_ids)
-                return (acc[0] + re.sum(0), acc[1] + im.sum(0)), None
+        key = ('vmap1', chunk, self.matmul_precision)
+        run = self._scan_progs.get(key)
+        if run is None:
+            def _run(ids, leaves):
+                def body(acc, chunk_ids):
+                    re, im = jax.vmap(
+                        lambda s: one_slice(s, leaves))(chunk_ids)
+                    return ((acc[0] + re.sum(0), acc[1] + im.sum(0)),
+                            None)
 
-            out_shape = [self.plan.tree.size_dict[i]
-                         for i in self.output_order]
-            acc0 = (jnp.zeros(out_shape, self.float_type),
-                    jnp.zeros(out_shape, self.float_type))
-            (re, im), _ = lax.scan(body, acc0, ids)
-            return re, im
+                out_shape = [self.plan.tree.size_dict[i]
+                             for i in self.output_order]
+                acc0 = (jnp.zeros(out_shape, self.float_type),
+                        jnp.zeros(out_shape, self.float_type))
+                (re, im), _ = lax.scan(body, acc0, ids)
+                return re, im
+
+            run = jax.jit(_run)
+            self._scan_progs[key] = run
 
         re, im = run(ids, leaves)
         out = np.asarray(re).astype(self.complex_type)
@@ -1144,7 +1183,10 @@ class SlicedContractor:
         return out
 
     def _contract_jax_mesh(self, one_slice, leaves, devices):
-        """Each device sums its slice range; one psum over the mesh."""
+        """Each device sums its slice range; one psum over the mesh.
+        The compiled shard_map program caches on the instance — a
+        fresh closure per call would recompile the whole program every
+        contraction (measured ~100x overhead on the CPU mesh)."""
         import jax
         import jax.numpy as jnp
         from jax import lax, shard_map
@@ -1163,25 +1205,32 @@ class SlicedContractor:
         out_shape = [self.plan.tree.size_dict[i]
                      for i in self.output_order]
 
-        @jax.jit
-        @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(P('s', None, None), P()),
-                           out_specs=P())
-        def run(ids, leaves):
-            def body(acc, chunk_ids):
-                re, im = jax.vmap(
-                    lambda s: one_slice(s, leaves))(chunk_ids)
-                return (acc[0] + re.sum(0), acc[1] + im.sum(0)), None
+        key = ('mesh', tuple(id(d) for d in devices), chunk,
+               self.matmul_precision)
+        fn = self._scan_progs.get(key)
+        if fn is None:
+            @functools.partial(shard_map, mesh=mesh,
+                               in_specs=(P('s', None, None), P()),
+                               out_specs=P())
+            def run(ids, leaves):
+                def body(acc, chunk_ids):
+                    re, im = jax.vmap(
+                        lambda s: one_slice(s, leaves))(chunk_ids)
+                    return ((acc[0] + re.sum(0), acc[1] + im.sum(0)),
+                            None)
 
-            acc0 = (jnp.zeros(out_shape, self.float_type),
-                    jnp.zeros(out_shape, self.float_type))
-            # The per-device partial sums vary across the mesh; mark the
-            # carry as varying so scan's carry types match.
-            acc0 = lax.pcast(acc0, ('s',), to='varying')
-            (re, im), _ = lax.scan(body, acc0, ids[0])
-            return (lax.psum(re, 's'), lax.psum(im, 's'))
+                acc0 = (jnp.zeros(out_shape, self.float_type),
+                        jnp.zeros(out_shape, self.float_type))
+                # Per-device partial sums vary across the mesh; mark
+                # the carry as varying so scan's carry types match.
+                acc0 = lax.pcast(acc0, ('s',), to='varying')
+                (re, im), _ = lax.scan(body, acc0, ids[0])
+                return (lax.psum(re, 's'), lax.psum(im, 's'))
 
-        re, im = run(ids, tuple(leaves))
+            fn = jax.jit(run)
+            self._scan_progs[key] = fn
+
+        re, im = fn(ids, tuple(leaves))
         out = np.asarray(re).astype(self.complex_type)
         out += 1j * np.asarray(im).astype(self.float_type)
         return out
