@@ -109,12 +109,13 @@ class FusedEvolver:
         if self.n < MIN_FUSED_QUBITS:
             raise ValueError(
                 f"FusedEvolver needs n >= {MIN_FUSED_QUBITS}")
-        # In-place-only mode: parks run as permutation-W kernel passes
-        # instead of XLA row gathers (which need 2x state memory) —
-        # REQUIRED at the 30q single-chip ceiling, where the 8.6 GB
-        # state forbids any second state-sized buffer.
-        self.inplace = bool(self.n >= 30 if inplace is None
-                            else inplace)
+        # In-place parks: permutation-W kernel passes instead of XLA
+        # row gathers.  Default ON everywhere — an ipark(2) pass costs
+        # a fused(2) class (~29 ms at 29q) vs the measured ~103 ms row
+        # gather, and the cost-model replay of the 29q bench schedule
+        # predicts 20.7 vs 15.5 gates/s.  At n >= 30 it is REQUIRED:
+        # the gather needs 2x state memory (8.6 GB state on 16 GB HBM).
+        self.inplace = bool(True if inplace is None else inplace)
         precision = str(precision).lower()
         if precision not in ('highest', 'high'):
             raise ValueError(

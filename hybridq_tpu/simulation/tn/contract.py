@@ -613,6 +613,136 @@ class SlicedContractor:
         out += 1j * np.asarray(acc[1]).astype(self.float_type)
         return out.reshape(out_shape)
 
+    def contract_jax_flat_line(self, slice_range=None,
+                               verbose: bool = False):
+        """Straight-line per-slice executor: the full flat step chain
+        compiles WITHOUT ``lax.scan`` into one program taking
+        ``(acc, sid)`` and returning the updated accumulator; slices
+        run as chained dispatches (no host readback between them, so
+        the async pipeline hides the tunnel RTT) and the sum stays on
+        device.  This is the crash-proof executor on platforms where
+        scanned multi-hundred-step programs kill the TPU worker (a
+        round-5 platform regression: the identical scanned program ran
+        in round 4)."""
+        import sys
+        import time as _t
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        start, stop = self._range(slice_range)
+        out_shape = [self.plan.tree.size_dict[i]
+                     for i in self.output_order]
+        if stop <= start:
+            return np.zeros(out_shape, dtype=self.complex_type)
+
+        sched, out_shift = self._flat_schedule()
+        precision = _resolve_precision(self.matmul_precision)
+        n_leaves = self.plan.tree.n_leaves
+        leaf_meta = self._leaf_gather_meta()
+        offs, re_h, im_h = self._packed_leaves()
+        re_all = jnp.asarray(re_h)
+        im_all = jnp.asarray(im_h)
+        sizes = [d.size for d in self.datas]
+        shift_keys = []
+        shift_vals = []
+        for st in sched:
+            for key in ('shl', 'shr'):
+                if st[key] is not None:
+                    t = tuple(st[key])
+                    if t not in shift_keys:
+                        shift_keys.append(t)
+                        shift_vals.append(jnp.asarray(st[key]))
+        shift_of = {t: i for i, t in enumerate(shift_keys)}
+
+        def gather(x_re, x_im, k, sh):
+            i = jnp.arange(2**k, dtype=jnp.int32)
+            idx = jnp.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+
+        def line(acc, sid, re_all, im_all, shifts):
+            vals = {}
+            for v in range(n_leaves):
+                re = lax.slice(re_all, (offs[v],),
+                               (offs[v] + sizes[v],))
+                im = lax.slice(im_all, (offs[v],),
+                               (offs[v] + sizes[v],))
+                base, terms = leaf_meta[v]
+                if terms:
+                    idx = jnp.asarray(base)
+                    for j, stride in terms:
+                        idx = idx + ((sid >> j) & 1) * stride
+                    re, im = jnp.take(re, idx), jnp.take(im, idx)
+                vals[v] = (re, im)
+            for st in sched:
+                kl, kr, s, nb, gl, gr = st['key']
+                lr, li = vals.pop(st['left'])
+                rr, ri = vals.pop(st['right'])
+                if gl:
+                    lr, li = gather(lr, li, kl,
+                                    shifts[shift_of[tuple(st['shl'])]])
+                if gr:
+                    rr, ri = gather(rr, ri, kr,
+                                    shifts[shift_of[tuple(st['shr'])]])
+                B = 2**nb
+                M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
+                Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+                Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
+
+                def mm(x, y):
+                    return lax.dot_general(
+                        x, y, (((2,), (1,)), ((0,), (0,))),
+                        precision=precision)
+
+                cr = mm(Ar, Br) - mm(Ai, Bi)
+                ci = mm(Ar, Bi) + mm(Ai, Br)
+                vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+            re, im = vals[self.plan.root]
+            return acc[0] + re, acc[1] + im
+
+        key = ('flatline', self.matmul_precision)
+        fn = self._scan_progs.get(key)
+        if fn is None:
+            t0 = _t.time()
+            fn = jax.jit(line, donate_argnums=(0,))
+            size = int(np.prod(out_shape, dtype=np.int64)) or 1
+            f32 = self.float_type
+            args = ((jax.ShapeDtypeStruct((size,), f32),) * 2,
+                    jax.ShapeDtypeStruct((), jnp.int32),
+                    jax.ShapeDtypeStruct(re_all.shape, re_all.dtype),
+                    jax.ShapeDtypeStruct(im_all.shape, im_all.dtype),
+                    [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                     for x in shift_vals])
+            fn = fn.lower(*args).compile()
+            self._scan_progs[key] = fn
+            if verbose:
+                print(f"# flat-line executor: compiled "
+                      f"{len(sched)}-step program in "
+                      f"{_t.time()-t0:.1f}s", file=sys.stderr,
+                      flush=True)
+
+        size = int(np.prod(out_shape, dtype=np.int64)) or 1
+        acc = (jnp.zeros((size,), self.float_type),
+               jnp.zeros((size,), self.float_type))
+        for sid in range(start, stop):
+            acc = fn(acc, jnp.int32(sid), re_all, im_all, shift_vals)
+        re, im = acc
+        if out_shift is not None:
+            k = len(self.output_order)
+            i = np.arange(2**k, dtype=np.int32)
+            idx = np.zeros_like(i)
+            for j in range(k):
+                idx = idx | (((i >> (k - 1 - j)) & 1) <<
+                             int(out_shift[j]))
+            re = np.asarray(re)[idx]
+            im = np.asarray(im)[idx]
+        out = np.asarray(re).astype(self.complex_type)
+        out += 1j * np.asarray(im).astype(self.float_type)
+        return out.reshape(out_shape)
+
     def _flat_scan_cuts(self, sched):
         """Cut the flat schedule into segments of <= ``scan_seg_steps``
         steps, choosing each cut where the crossing live set (produced
