@@ -131,6 +131,89 @@ def _resolve_precision(name: str):
     }[str(name).lower()]
 
 
+def _flat_gather(x_re, x_im, k, sh):
+    """Bit-permutation gather of a flat 2^k split pair (shift table
+    ``sh`` is a runtime argument)."""
+    import jax.numpy as jnp
+
+    i = jnp.arange(2**k, dtype=jnp.int32)
+    idx = jnp.zeros_like(i)
+    for j in range(k):
+        idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
+    return jnp.take(x_re, idx), jnp.take(x_im, idx)
+
+
+def _apply_flat_step(key, mode, lr, li, rr, ri, precision):
+    """One pairwise flat contraction on gathered split operands.
+
+    TPU minor dims narrower than the 128-lane tile pad up to 32x when
+    materialized (a [2^24, 4] f32 operand "is" 8.6 GB) — CLAUDE.md's
+    small-minor-dim trap, and the cause of the depth-20 worker
+    crashes.  Three emissions avoid every narrow-minor operand:
+
+    * ``std``   — [B,M,K] @ [B,K,N] (all minors wide enough);
+    * ``tr``    — K >= 128 and N < 64: the rhs gathers K-minor
+                  ([B,N,K]) and the dot contracts both minors;
+    * ``fold``  — K <= 128 <= M*K, K*N small: the contraction folds
+                  into the 128-lane axis as ONE [M*K/128, 128] @
+                  [128, 128*N/K] matmul with kron(I, B) built on the
+                  fly — no narrow operand OR output ever exists.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    kl, kr, s, nb, gl, gr = key
+    B = 2**nb
+    M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
+    if mode == 'fold':
+        a = 128 // K
+        rows = (M * K) // 128
+        A2r, A2i = lr.reshape(rows, 128), li.reshape(rows, 128)
+        Bmr, Bmi = rr.reshape(K, N), ri.reshape(K, N)
+        eye = jnp.eye(a, dtype=lr.dtype)
+        Wr = jnp.kron(eye, Bmr)
+        Wi = jnp.kron(eye, Bmi)
+
+        def mm(x, y):
+            return lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())), precision=precision)
+
+        cr = mm(A2r, Wr) - mm(A2i, Wi)
+        ci = mm(A2r, Wi) + mm(A2i, Wr)
+        return cr.reshape(-1), ci.reshape(-1)
+    if mode == 'tr':
+        Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+        Br, Bi = rr.reshape(B, N, K), ri.reshape(B, N, K)
+
+        def mm(x, y):
+            return lax.dot_general(
+                x, y, (((2,), (2,)), ((0,), (0,))),
+                precision=precision)
+    else:
+        Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
+        Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
+
+        def mm(x, y):
+            return lax.dot_general(
+                x, y, (((2,), (1,)), ((0,), (0,))),
+                precision=precision)
+
+    cr = mm(Ar, Br) - mm(Ai, Bi)
+    ci = mm(Ar, Bi) + mm(Ai, Br)
+    return cr.reshape(-1), ci.reshape(-1)
+
+
+def _step_mode(kl, kr, s, nb):
+    """Pick the emission (see _apply_flat_step) for a step class."""
+    M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
+    if nb == 0 and K <= 128 and 128 % K == 0 and M * K >= 128 \
+            and N <= 128 and (128 // K) * N <= 512:
+        return 'fold'
+    if K >= 128 and N < 64:
+        return 'tr'
+    return 'std'
+
+
 class SlicedContractor:
     """Executes a ContractionPlan over all slices, on numpy or JAX."""
 
@@ -265,8 +348,12 @@ class SlicedContractor:
             kl, kr = len(el), len(er)
             free_l = [i for i in el if i not in shared]
             free_r = [i for i in er if i not in shared]
+            mode = _step_mode(kl, kr, s, nb)
             tl = tuple(batch) + tuple(free_l) + tuple(summed)  # [B,M,K]
-            tr = tuple(batch) + tuple(summed) + tuple(free_r)  # [B,K,N]
+            if mode == 'tr':   # K-minor rhs: [B,N,K]
+                tr = tuple(batch) + tuple(free_r) + tuple(summed)
+            else:
+                tr = tuple(batch) + tuple(summed) + tuple(free_r)
 
             def shifts(ex, tx):
                 k = len(ex)
@@ -278,7 +365,7 @@ class SlicedContractor:
             gr = tr != tuple(er)
             sched.append({
                 'v': v, 'left': left, 'right': right,
-                'key': (kl, kr, s, nb, gl, gr),
+                'key': (kl, kr, s, nb, gl, gr), 'mode': mode,
                 'shl': shifts(el, tl) if gl else None,
                 'shr': shifts(er, tr) if gr else None,
             })
@@ -294,46 +381,26 @@ class SlicedContractor:
         return sched, out_shift
 
     @staticmethod
-    def _flat_step_prog(kl, kr, s, nb, gl, gr, prec='highest'):
-        """Compiled flat contraction step for a shape class
-        (``nb`` batch bits carry hyperedge indices retained at the
-        parent: [B, M, K] @ [B, K, N])."""
+    def _flat_step_prog(kl, kr, s, nb, gl, gr, mode='std',
+                        prec='highest'):
+        """Compiled flat contraction step for a shape class (see
+        ``_apply_flat_step`` for the emissions)."""
         import jax
-        import jax.numpy as jnp
 
-        key = ('flatstep', kl, kr, s, nb, gl, gr, prec)
+        key = ('flatstep', kl, kr, s, nb, gl, gr, mode, prec)
         fn = _FLAT_PROG_CACHE.get(key)
         if fn is not None:
             return fn
-        B = 2**nb
-        M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
         precision = _resolve_precision(prec)
-
-        def gather(x_re, x_im, k, sh):
-            i = jnp.arange(2**k, dtype=jnp.int32)
-            idx = jnp.zeros_like(i)
-            for j in range(k):
-                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
-            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+        kcls = (kl, kr, s, nb, gl, gr)
 
         def f(lr, li, rr, ri, shl, shr):
             if gl:
-                lr, li = gather(lr, li, kl, shl)
+                lr, li = _flat_gather(lr, li, kl, shl)
             if gr:
-                rr, ri = gather(rr, ri, kr, shr)
-            Ar = lr.reshape(B, M, K)
-            Ai = li.reshape(B, M, K)
-            Br = rr.reshape(B, K, N)
-            Bi = ri.reshape(B, K, N)
-
-            def mm(x, y):
-                return jax.lax.dot_general(
-                    x, y, (((2,), (1,)), ((0,), (0,))),
-                    precision=precision)
-
-            cr = mm(Ar, Br) - mm(Ai, Bi)
-            ci = mm(Ar, Bi) + mm(Ai, Br)
-            return cr.reshape(-1), ci.reshape(-1)
+                rr, ri = _flat_gather(rr, ri, kr, shr)
+            return _apply_flat_step(kcls, mode, lr, li, rr, ri,
+                                    precision)
 
         fn = jax.jit(f)
         _FLAT_PROG_CACHE[key] = fn
@@ -352,7 +419,7 @@ class SlicedContractor:
         import jax.numpy as jnp
 
         prec = self.matmul_precision
-        keys = sorted({st['key'] for st in sched})
+        keys = sorted({st['key'] + (st['mode'],) for st in sched})
         todo = [k for k in keys
                 if ('flatexec',) + k + (prec,) not in _FLAT_PROG_CACHE]
         if len(todo) <= 1:
@@ -360,8 +427,8 @@ class SlicedContractor:
         t0 = _t.time()
 
         def one(key):
-            kl, kr, s, nb, gl, gr = key
-            fn = self._flat_step_prog(*key, prec=prec)
+            kl, kr, s, nb, gl, gr, mode = key
+            fn = self._flat_step_prog(*key[:6], mode=mode, prec=prec)
             f32 = jnp.float32
             i32 = jnp.int32
             args = (jax.ShapeDtypeStruct((2**kl,), f32),
@@ -535,19 +602,8 @@ class SlicedContractor:
                 if gr:
                     rr, ri = gather(rr, ri, kr,
                                     shifts[shift_of[tuple(st['shr'])]])
-                B = 2**nb
-                M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
-                Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
-                Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
-
-                def mm(x, y):
-                    return lax.dot_general(
-                        x, y, (((2,), (1,)), ((0,), (0,))),
-                        precision=precision)
-
-                cr = mm(Ar, Br) - mm(Ai, Bi)
-                ci = mm(Ar, Bi) + mm(Ai, Br)
-                vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+                vals[st['v']] = _apply_flat_step(
+                    st['key'], st['mode'], lr, li, rr, ri, precision)
             return vals[self.plan.root]
 
         def run(ids, re_all, im_all, shifts):
@@ -687,19 +743,8 @@ class SlicedContractor:
                 if gr:
                     rr, ri = gather(rr, ri, kr,
                                     shifts[shift_of[tuple(st['shr'])]])
-                B = 2**nb
-                M, K, N = 2**(kl - s - nb), 2**s, 2**(kr - s - nb)
-                Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
-                Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
-
-                def mm(x, y):
-                    return lax.dot_general(
-                        x, y, (((2,), (1,)), ((0,), (0,))),
-                        precision=precision)
-
-                cr = mm(Ar, Br) - mm(Ai, Bi)
-                ci = mm(Ar, Bi) + mm(Ai, Br)
-                vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+                vals[st['v']] = _apply_flat_step(
+                    st['key'], st['mode'], lr, li, rr, ri, precision)
             re, im = vals[self.plan.root]
             return acc[0] + re, acc[1] + im
 
@@ -878,20 +923,9 @@ class SlicedContractor:
                         rr, ri = gather(
                             rr, ri, kr,
                             shifts_c[0][shift_of[tuple(st['shr'])]])
-                    B = 2**nb
-                    M, K = 2**(kl - s - nb), 2**s
-                    N = 2**(kr - s - nb)
-                    Ar, Ai = lr.reshape(B, M, K), li.reshape(B, M, K)
-                    Br, Bi = rr.reshape(B, K, N), ri.reshape(B, K, N)
-
-                    def mm(x, y):
-                        return lax.dot_general(
-                            x, y, (((2,), (1,)), ((0,), (0,))),
-                            precision=precision)
-
-                    cr = mm(Ar, Br) - mm(Ai, Bi)
-                    ci = mm(Ar, Bi) + mm(Ai, Br)
-                    vals[st['v']] = (cr.reshape(-1), ci.reshape(-1))
+                    vals[st['v']] = _apply_flat_step(
+                        st['key'], st['mode'], lr, li, rr, ri,
+                        precision)
                 if is_last:
                     re, im = vals[self.plan.root]
                     w = (sid_raw >= 0).astype(self.float_type)
@@ -1024,9 +1058,9 @@ class SlicedContractor:
                 lr, li = vals.pop(st['left'])
                 rr, ri = vals.pop(st['right'])
                 fn = _FLAT_PROG_CACHE.get(
-                    ('flatexec',) + st['key'] +
+                    ('flatexec',) + st['key'] + (st['mode'],) +
                     (self.matmul_precision,)) or \
-                    self._flat_step_prog(*st['key'],
+                    self._flat_step_prog(*st['key'], mode=st['mode'],
                                          prec=self.matmul_precision)
                 shl = shl_dev[tuple(st['shl'])] if st['shl'] is not None \
                     else dummy

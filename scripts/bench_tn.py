@@ -82,6 +82,9 @@ def main():
     ap.add_argument('--cpu-sample', type=int, default=1)
     ap.add_argument('--cpu', type=int, default=1)
     ap.add_argument('--target', type=int, default=26)
+    ap.add_argument('--executor', default='auto',
+                    choices=['auto', 'scan', 'line', 'step'],
+                    help='force a flat-executor variant')
     ap.add_argument('--fresh', action='store_true')
     ap.add_argument('--plan-only', action='store_true',
                     help='search + cache the plan, skip contraction')
@@ -145,14 +148,22 @@ def main():
     # and the measurement (different range lengths would compile the
     # minutes-long scanned program twice).
     sc.scan_chunk = k
+    if args.executor == 'line':
+        run = sc.contract_jax_flat_line
+    elif args.executor == 'scan':
+        run = sc.contract_jax_flat_scan
+    elif args.executor == 'step':
+        run = lambda **kw: sc.contract_jax_flat(scan=False, **kw)  # noqa
+    else:
+        run = lambda **kw: sc.contract_jax(**kw)  # noqa: E731
     t0 = time.time()
-    out = sc.contract_jax(slice_range=(0, k), verbose=True)
+    out = run(slice_range=(0, k), verbose=True)
     _ = complex(np.asarray(out).ravel()[0])
     compile_s = time.time() - t0
     print(f"# first chunk of {k} (incl. compile): {compile_s:.1f}s",
           file=sys.stderr)
     t0 = time.time()
-    out = sc.contract_jax(slice_range=(k, 2 * k))
+    out = run(slice_range=(k, 2 * k))
     _ = complex(np.asarray(out).ravel()[0])  # forces readback
     tpu_s = (time.time() - t0) / k
     result.update({
