@@ -133,10 +133,20 @@ def _resolve_precision(name: str):
 
 def _flat_gather(x_re, x_im, k, sh):
     """Bit-permutation gather of a flat 2^k split pair (shift table
-    ``sh`` is a runtime argument)."""
+    ``sh`` is a runtime argument).
+
+    The index build is ANCHORED on the gathered data (``+ 0*x[0]``):
+    it is otherwise a pure function of the shift-table inputs, and XLA
+    hoists every such loop-invariant chain to the program start — on
+    the Sycamore-53 depth-20 chain that left 60+ 2^26-element int32
+    index vectors live simultaneously (measured: a 277-step prefix
+    with ~6.2 GB of hoisted indices ran; 290 steps at ~8.0 GB crashed
+    the TPU worker).  The data dependence pins each index vector's
+    lifetime to its own step."""
     import jax.numpy as jnp
 
-    i = jnp.arange(2**k, dtype=jnp.int32)
+    z = (x_re[0] * 0.0).astype(jnp.int32)
+    i = jnp.arange(2**k, dtype=jnp.int32) + z
     idx = jnp.zeros_like(i)
     for j in range(k):
         idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
@@ -231,11 +241,12 @@ class SlicedContractor:
         # program is compiled once at this chunk length and reused for
         # every range, sentinel-padded).
         self.scan_chunk = 256
-        # Max contraction steps per compiled scanned program: longer
-        # chains split into pipelined segment programs (a monolithic
-        # 404-step depth-20 program crashed the TPU worker outright;
-        # the 234-step depth-12 one ran — stay under that).
+        # Per-program limits for the scanned executors: the TPU worker
+        # crashes loading programs beyond ~107 MB of generated code
+        # (see _flat_scan_cuts); chains estimated above the budget
+        # split into pipelined segment programs.
         self.scan_seg_steps = 200
+        self.scan_seg_code_mb = 70.0
         self.plan = plan
         self.output_order = tuple(output_order)
         self.perm = plan.output_perm(output_order)
@@ -547,7 +558,10 @@ class SlicedContractor:
             return np.zeros(out_shape, dtype=self.complex_type)
 
         sched, out_shift = self._flat_schedule()
-        if len(sched) > self.scan_seg_steps:
+        est_mb = sum(2.0 if max(st['key'][0], st['key'][1]) >= 20
+                     else 0.2 for st in sched)
+        if len(sched) > self.scan_seg_steps or \
+                est_mb > self.scan_seg_code_mb:
             return self._contract_flat_scan_segmented(
                 sched, out_shift, start, stop, verbose=verbose)
         precision = _resolve_precision(self.matmul_precision)
@@ -571,12 +585,7 @@ class SlicedContractor:
                         shift_vals.append(jnp.asarray(st[key]))
         shift_of = {t: i for i, t in enumerate(shift_keys)}
 
-        def gather(x_re, x_im, k, sh):
-            i = jnp.arange(2**k, dtype=jnp.int32)
-            idx = jnp.zeros_like(i)
-            for j in range(k):
-                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
-            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+        gather = _flat_gather
 
         def one_slice(sid, re_all, im_all, shifts):
             vals = {}
@@ -671,15 +680,19 @@ class SlicedContractor:
 
     def contract_jax_flat_line(self, slice_range=None,
                                verbose: bool = False):
-        """Straight-line per-slice executor: the full flat step chain
-        compiles WITHOUT ``lax.scan`` into one program taking
-        ``(acc, sid)`` and returning the updated accumulator; slices
-        run as chained dispatches (no host readback between them, so
-        the async pipeline hides the tunnel RTT) and the sum stays on
-        device.  This is the crash-proof executor on platforms where
-        scanned multi-hundred-step programs kill the TPU worker (a
-        round-5 platform regression: the identical scanned program ran
-        in round 4)."""
+        """Straight-line per-slice executor: the flat step chain
+        compiles WITHOUT ``lax.scan`` into a small pipeline of
+        straight-line segment programs chained through their boundary
+        tensors; slices run as chained dispatches (no host readback,
+        so the async pipeline hides the tunnel RTT) and the sum stays
+        on device.
+
+        This is the crash-proof executor on this platform: scanned
+        programs whose bodies hold GB-scale temporaries kill the TPU
+        worker (observed repeatedly on the Sycamore-53 depth-20
+        chain), and straight-line programs beyond ~285 steps die too —
+        but straight-line segments of ~240 steps run.  Cost: one
+        dispatch per segment per slice (2 segments at depth 20)."""
         import sys
         import time as _t
 
@@ -701,6 +714,7 @@ class SlicedContractor:
         re_all = jnp.asarray(re_h)
         im_all = jnp.asarray(im_h)
         sizes = [d.size for d in self.datas]
+        kdim = {v: len(inds) for v, inds in self.plan.eff.items()}
         shift_keys = []
         shift_vals = []
         for st in sched:
@@ -712,68 +726,147 @@ class SlicedContractor:
                         shift_vals.append(jnp.asarray(st[key]))
         shift_of = {t: i for i, t in enumerate(shift_keys)}
 
-        def gather(x_re, x_im, k, sh):
-            i = jnp.arange(2**k, dtype=jnp.int32)
-            idx = jnp.zeros_like(i)
-            for j in range(k):
-                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
-            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+        # Straight-line code is ~1.3 MB per big-gather step measured
+        # (237 steps compiled to 306 MB); programs beyond ~90 MB kill
+        # the worker, so cut conservatively and verify the MEASURED
+        # code size after compiling (re-segment on miss).  Scanned
+        # bodies with big gathers crash outright on this platform (a
+        # straight-line program of the same steps runs), hence no
+        # lax.scan anywhere in this executor.
+        if not hasattr(self, 'line_seg_code_mb'):
+            self.line_seg_code_mb = 40.0
 
-        def line(acc, sid, re_all, im_all, shifts):
-            vals = {}
-            for v in range(n_leaves):
-                re = lax.slice(re_all, (offs[v],),
-                               (offs[v] + sizes[v],))
-                im = lax.slice(im_all, (offs[v],),
-                               (offs[v] + sizes[v],))
-                base, terms = leaf_meta[v]
-                if terms:
-                    idx = jnp.asarray(base)
-                    for j, stride in terms:
-                        idx = idx + ((sid >> j) & 1) * stride
-                    re, im = jnp.take(re, idx), jnp.take(im, idx)
-                vals[v] = (re, im)
-            for st in sched:
-                kl, kr, s, nb, gl, gr = st['key']
-                lr, li = vals.pop(st['left'])
-                rr, ri = vals.pop(st['right'])
-                if gl:
-                    lr, li = gather(lr, li, kl,
-                                    shifts[shift_of[tuple(st['shl'])]])
-                if gr:
-                    rr, ri = gather(rr, ri, kr,
-                                    shifts[shift_of[tuple(st['shr'])]])
-                vals[st['v']] = _apply_flat_step(
-                    st['key'], st['mode'], lr, li, rr, ri, precision)
-            re, im = vals[self.plan.root]
-            return acc[0] + re, acc[1] + im
+        def leaf_val(sid, v):
+            re = lax.slice(re_all, (offs[v],), (offs[v] + sizes[v],))
+            im = lax.slice(im_all, (offs[v],), (offs[v] + sizes[v],))
+            base, terms = leaf_meta[v]
+            if terms:
+                idx = jnp.asarray(base)
+                for j, stride in terms:
+                    idx = idx + ((sid >> j) & 1) * stride
+                re, im = jnp.take(re, idx), jnp.take(im, idx)
+            return re, im
 
-        key = ('flatline', self.matmul_precision)
-        fn = self._scan_progs.get(key)
-        if fn is None:
-            t0 = _t.time()
-            fn = jax.jit(line, donate_argnums=(0,))
-            size = int(np.prod(out_shape, dtype=np.int64)) or 1
+        def make_seg(seg, in_nodes, out_nodes, is_last):
+            def steps_of(sid, bins, shifts):
+                vals = dict(zip(in_nodes, bins))
+
+                def fetch(v):
+                    if v in vals:
+                        return vals.pop(v)
+                    return leaf_val(sid, v)
+
+                for st in seg:
+                    kl, kr = st['key'][0], st['key'][1]
+                    lr, li = fetch(st['left'])
+                    rr, ri = fetch(st['right'])
+                    if st['key'][4]:
+                        lr, li = _flat_gather(
+                            lr, li, kl,
+                            shifts[shift_of[tuple(st['shl'])]])
+                    if st['key'][5]:
+                        rr, ri = _flat_gather(
+                            rr, ri, kr,
+                            shifts[shift_of[tuple(st['shr'])]])
+                    vals[st['v']] = _apply_flat_step(
+                        st['key'], st['mode'], lr, li, rr, ri,
+                        precision)
+                return vals
+
+            if is_last:
+                def run(acc, sid, bins, re_a, im_a, shifts):
+                    vals = steps_of(sid, bins, shifts)
+                    re, im = vals[self.plan.root]
+                    return acc[0] + re, acc[1] + im
+            else:
+                def run(sid, bins, re_a, im_a, shifts):
+                    vals = steps_of(sid, bins, shifts)
+                    return tuple(vals[v] for v in out_nodes)
+            return run
+
+        CODE_LIMIT_MB = 80.0
+        t0 = _t.time()
+        fns = None
+        for attempt in range(4):
+            bounds, live_at_cut = self._flat_scan_cuts(
+                sched,
+                seg_limit=int(getattr(self, 'line_seg_steps', 240)),
+                budget=float(self.line_seg_code_mb),
+                w_big=1.4, w_small=0.3)
+            segs = [sched[a:b] for a, b in zip(bounds, bounds[1:])]
+            n_seg = len(segs)
+            key = ('flatline', self.matmul_precision, tuple(bounds))
+            fns = self._scan_progs.get(key)
+            if fns is not None:
+                break
             f32 = self.float_type
-            args = ((jax.ShapeDtypeStruct((size,), f32),) * 2,
-                    jax.ShapeDtypeStruct((), jnp.int32),
-                    jax.ShapeDtypeStruct(re_all.shape, re_all.dtype),
-                    jax.ShapeDtypeStruct(im_all.shape, im_all.dtype),
-                    [jax.ShapeDtypeStruct(x.shape, x.dtype)
-                     for x in shift_vals])
-            fn = fn.lower(*args).compile()
-            self._scan_progs[key] = fn
+            i32 = jnp.int32
+            size = int(np.prod(out_shape, dtype=np.int64)) or 1
+            acc_s = (jax.ShapeDtypeStruct((size,), f32),) * 2
+            sid_s = jax.ShapeDtypeStruct((), i32)
+            lv = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (re_all, im_all, shift_vals))
+            fns = []
+            bound_s = ()
+            max_code = 0.0
+            for k_seg, seg in enumerate(segs):
+                in_nodes = live_at_cut[k_seg - 1] if k_seg else []
+                out_nodes = live_at_cut[k_seg] \
+                    if k_seg < n_seg - 1 else []
+                is_last = k_seg == n_seg - 1
+                run = make_seg(seg, in_nodes, out_nodes, is_last)
+                if is_last:
+                    fn = jax.jit(run, donate_argnums=(0,)).lower(
+                        acc_s, sid_s, bound_s, *lv).compile()
+                else:
+                    fn = jax.jit(run).lower(
+                        sid_s, bound_s, *lv).compile()
+                try:
+                    ma = fn.memory_analysis()
+                    code_mb = ma.generated_code_size_in_bytes / 2**20
+                    max_code = max(max_code, code_mb)
+                    if verbose:
+                        print(f"#   line segment {k_seg + 1}: code "
+                              f"{code_mb:.1f} MB, temp "
+                              f"{ma.temp_size_in_bytes/2**20:.0f} MB",
+                              file=sys.stderr, flush=True)
+                except Exception:
+                    pass
+                fns.append(fn)
+                bound_s = tuple(
+                    (jax.ShapeDtypeStruct((2**kdim[v],), f32),) * 2
+                    for v in out_nodes)
+            if max_code <= CODE_LIMIT_MB or attempt == 3:
+                self._scan_progs[key] = fns
+                break
+            self.line_seg_code_mb = max(
+                4.0, self.line_seg_code_mb * 0.8 *
+                CODE_LIMIT_MB / max_code)
             if verbose:
-                print(f"# flat-line executor: compiled "
-                      f"{len(sched)}-step program in "
-                      f"{_t.time()-t0:.1f}s", file=sys.stderr,
-                      flush=True)
+                print(f"# line segment code {max_code:.0f} MB > "
+                      f"{CODE_LIMIT_MB:.0f}; re-segmenting at budget "
+                      f"{self.line_seg_code_mb:.0f} MB",
+                      file=sys.stderr, flush=True)
+        if verbose:
+            print(f"# flat-line executor: compiled {n_seg} "
+                  f"straight-line programs "
+                  f"({[b - a for a, b in zip(bounds, bounds[1:])]}"
+                  f" steps) in {_t.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
         size = int(np.prod(out_shape, dtype=np.int64)) or 1
         acc = (jnp.zeros((size,), self.float_type),
                jnp.zeros((size,), self.float_type))
         for sid in range(start, stop):
-            acc = fn(acc, jnp.int32(sid), re_all, im_all, shift_vals)
+            bound = ()
+            for k_seg, fn in enumerate(fns):
+                if k_seg == n_seg - 1:
+                    acc = fn(acc, jnp.int32(sid), bound, re_all,
+                             im_all, shift_vals)
+                else:
+                    bound = fn(jnp.int32(sid), bound, re_all, im_all,
+                               shift_vals)
         re, im = acc
         if out_shift is not None:
             k = len(self.output_order)
@@ -788,16 +881,37 @@ class SlicedContractor:
         out += 1j * np.asarray(im).astype(self.float_type)
         return out.reshape(out_shape)
 
-    def _flat_scan_cuts(self, sched):
-        """Cut the flat schedule into segments of <= ``scan_seg_steps``
-        steps, choosing each cut where the crossing live set (produced
-        tensors alive at the cut) is smallest.  Returns
-        ``(bounds, live_at_cut)`` with ``bounds`` the step indices
-        ``[0, c1, ..., n]`` and ``live_at_cut[k]`` the sorted node ids
-        alive at cut ``c_{k+1}``."""
+    def _flat_scan_cuts(self, sched, seg_limit=None, budget=None,
+                        w_big=None, w_small=None):
+        """Cut the flat schedule into segments bounded by ESTIMATED
+        GENERATED-CODE SIZE, choosing each cut where the crossing live
+        set (produced tensors alive at the cut) is smallest.
+
+        The TPU worker crashes outright loading/executing programs
+        beyond ~107 MB of generated code (measured on the depth-20
+        chain: a 106 MB program ran, 107.5 MB killed the worker; a
+        300 MB scanned segment died instantly while its 15 MB sibling
+        ran).  Scanned bodies emit ~2 MB per big-gather step and
+        ~0.2 MB per small step (fitted to measured segment sizes), so
+        the budget ``scan_seg_code_mb`` (default 60) keeps every
+        program safely below the cliff.  ``scan_seg_steps`` still caps
+        raw step count.  Returns ``(bounds, live_at_cut)``."""
         n_steps = len(sched)
-        seg_limit = int(self.scan_seg_steps)
-        n_seg = -(-n_steps // seg_limit)
+        seg_limit = int(seg_limit if seg_limit is not None
+                        else self.scan_seg_steps)
+        if w_big is None:
+            w_big, w_small = 4.0, 0.4
+
+        def code_mb(st):
+            # Fitted to measured scanned-segment code sizes on the
+            # depth-20 chain (~4 MB per big-gather step, ~0.4 small);
+            # the compile loop verifies actual sizes and re-segments.
+            kl, kr = st['key'][0], st['key'][1]
+            return w_big if max(kl, kr) >= 20 else w_small
+
+        weights = [code_mb(st) for st in sched]
+        budget = float(budget if budget is not None
+                       else getattr(self, 'scan_seg_code_mb', 60.0))
         live = {}
         sizes = []
         for st in sched:
@@ -805,16 +919,24 @@ class SlicedContractor:
             live.pop(st['right'], None)
             live[st['v']] = 2 ** len(self.plan.eff[st['v']])
             sizes.append(sum(live.values()))
+        # Greedy: cut when the accumulated estimate would cross the
+        # budget, placing the cut at the smallest boundary within a
+        # lookback window (boundary tensors materialize as [chunk, 2^k]
+        # stacks between segment programs).
+        lookback = 30
         bounds = [0]
-        for s in range(1, n_seg):
-            target = round(s * n_steps / n_seg)
-            w = max(4, seg_limit // 4)
-            lo = max(bounds[-1] + 1, target - w)
-            hi = min(n_steps - 1, target + w)
-            if lo >= hi:
-                continue
-            best = min(range(lo, hi), key=lambda i: sizes[i])
-            bounds.append(best + 1)   # cut AFTER step ``best``
+        acc = 0.0
+        for i in range(n_steps):
+            acc += weights[i]
+            steps_in = i + 1 - bounds[-1]
+            if (acc > budget or steps_in >= seg_limit) and \
+                    i + 1 < n_steps:
+                lo = max(bounds[-1] + 1, i + 1 - lookback)
+                best = min(range(lo, i + 2),
+                           key=lambda j: sizes[j - 1])
+                if best > bounds[-1]:
+                    bounds.append(best)
+                    acc = sum(weights[best:i + 1])
         bounds.append(n_steps)
         live_at_cut = []
         live_set: set = set()
@@ -852,19 +974,7 @@ class SlicedContractor:
         out_shape = [self.plan.tree.size_dict[i]
                      for i in self.output_order]
 
-        bounds, live_at_cut = self._flat_scan_cuts(sched)
-        segs = [sched[a:b] for a, b in zip(bounds, bounds[1:])]
-        n_seg = len(segs)
         kdim = {v: len(inds) for v, inds in self.plan.eff.items()}
-
-        # Chunk length: bounded by the largest per-slice boundary so a
-        # [C, boundary] stack stays ~<= 1 GB per side of a cut.
-        bound_bytes = max(
-            (sum(2**kdim[v] for v in cut) * 8 for cut in live_at_cut),
-            default=8)
-        C = int(min(self.scan_chunk, max(1, 2**30 // bound_bytes),
-                    max(1, stop - start)))
-
         offs, re_h, im_h = self._packed_leaves()
         re_all_dev = jnp.asarray(re_h)
         im_all_dev = jnp.asarray(im_h)
@@ -880,12 +990,7 @@ class SlicedContractor:
                         shift_vals.append(jnp.asarray(st[key]))
         shift_of = {t: i for i, t in enumerate(shift_keys)}
 
-        def gather(x_re, x_im, k, sh):
-            i = jnp.arange(2**k, dtype=jnp.int32)
-            idx = jnp.zeros_like(i)
-            for j in range(k):
-                idx = idx | (((i >> (k - 1 - j)) & 1) << sh[j])
-            return jnp.take(x_re, idx), jnp.take(x_im, idx)
+        gather = _flat_gather
 
         def leaf_val(sid, v, leaves):
             re_all, im_all = leaves
@@ -962,11 +1067,33 @@ class SlicedContractor:
             shifts_c = [None]
             return run
 
-        key = ('flatscan-seg', self.matmul_precision, C,
-               tuple(bounds))
-        fns = self._scan_progs.get(key)
-        if fns is None:
-            t0 = _t.time()
+        # Compile with a MEASURED-code-size guard: the worker dies
+        # loading programs beyond ~107 MB of generated code, and the
+        # host-side per-step estimate is only ~2-3x accurate, so after
+        # compiling we check every segment's actual code size and, if
+        # any exceeds the limit, shrink the budget proportionally and
+        # re-segment (at most twice; compiles hit the persistent cache
+        # on retry overlap).
+        CODE_LIMIT_MB = 95.0
+        t0 = _t.time()
+        fns = None
+        for attempt in range(3):
+            bounds, live_at_cut = self._flat_scan_cuts(sched)
+            segs = [sched[a:b] for a, b in zip(bounds, bounds[1:])]
+            n_seg = len(segs)
+            bound_bytes = max(
+                (sum(2**kdim[v] for v in cut) * 8
+                 for cut in live_at_cut), default=8)
+            # [C, boundary] stacks ~<= 3 GB per cut side (two adjacent
+            # cuts' stacks + ~2 GB program temps fit 16 GB HBM).
+            C = int(min(self.scan_chunk,
+                        max(1, 3 * 2**30 // bound_bytes),
+                        max(1, stop - start)))
+            key = ('flatscan-seg', self.matmul_precision, C,
+                   tuple(bounds))
+            fns = self._scan_progs.get(key)
+            if fns is not None:
+                break
             f32 = self.float_type
             i32 = jnp.int32
             ids_s = jax.ShapeDtypeStruct((C,), i32)
@@ -975,6 +1102,7 @@ class SlicedContractor:
                 ((re_all_dev, im_all_dev), shift_vals))
             fns = []
             bound_s = ()
+            max_code = 0.0
             for k_seg, seg in enumerate(segs):
                 in_nodes = live_at_cut[k_seg - 1] if k_seg else []
                 out_nodes = live_at_cut[k_seg] \
@@ -982,17 +1110,39 @@ class SlicedContractor:
                 run = make_run(seg, in_nodes, out_nodes,
                                k_seg == n_seg - 1)
                 fn = jax.jit(run).lower(ids_s, bound_s, *lv).compile()
+                try:
+                    ma = fn.memory_analysis()
+                    code_mb = ma.generated_code_size_in_bytes / 2**20
+                    max_code = max(max_code, code_mb)
+                    if verbose:
+                        print(f"#   segment {k_seg + 1}: code "
+                              f"{code_mb:.1f} MB, temp "
+                              f"{ma.temp_size_in_bytes/2**20:.0f} MB",
+                              file=sys.stderr, flush=True)
+                except Exception:
+                    pass
                 fns.append(fn)
                 bound_s = tuple(
                     (jax.ShapeDtypeStruct((C, 2**kdim[v]), f32),) * 2
                     for v in out_nodes)
-            self._scan_progs[key] = fns
+            if max_code <= CODE_LIMIT_MB or attempt == 2:
+                self._scan_progs[key] = fns
+                break
+            self.scan_seg_code_mb = max(
+                5.0, self.scan_seg_code_mb * 0.85 *
+                CODE_LIMIT_MB / max_code)
             if verbose:
-                print(f"# flat-scan executor: compiled {n_seg} segment "
-                      f"programs ({[b - a for a, b in zip(bounds, bounds[1:])]} "
-                      f"steps, chunk {C}) in {_t.time()-t0:.1f}s",
+                print(f"# segment code {max_code:.0f} MB > "
+                      f"{CODE_LIMIT_MB:.0f}; re-segmenting at budget "
+                      f"{self.scan_seg_code_mb:.0f} MB",
                       file=sys.stderr, flush=True)
+        if verbose:
+            print(f"# flat-scan executor: compiled {n_seg} segment "
+                  f"programs ({[b - a for a, b in zip(bounds, bounds[1:])]} "
+                  f"steps, chunk {C}) in {_t.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
+        sync = bool(getattr(self, 'scan_seg_sync', False))
         acc = None
         for lo in range(start, stop, C):
             ids_np = np.full(C, -1, dtype=np.int32)
@@ -1004,6 +1154,13 @@ class SlicedContractor:
                 out = fn(ids, bound, (re_all_dev, im_all_dev),
                          shift_vals)
                 bound = out
+                if sync:   # debug: pin failures to a segment
+                    import jax as _jax
+                    leaf0 = _jax.tree.leaves(out)[0]
+                    _ = float(np.asarray(leaf0.ravel()[:1])[0])
+                    print(f"#   chunk@{lo} segment {k_seg + 1}/"
+                          f"{len(fns)} ok", file=sys.stderr,
+                          flush=True)
             re, im = out
             acc = (re, im) if acc is None else (acc[0] + re,
                                                 acc[1] + im)
