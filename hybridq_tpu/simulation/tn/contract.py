@@ -681,18 +681,20 @@ class SlicedContractor:
     def contract_jax_flat_line(self, slice_range=None,
                                verbose: bool = False):
         """Straight-line per-slice executor: the flat step chain
-        compiles WITHOUT ``lax.scan`` into a small pipeline of
-        straight-line segment programs chained through their boundary
-        tensors; slices run as chained dispatches (no host readback,
-        so the async pipeline hides the tunnel RTT) and the sum stays
-        on device.
+        compiles WITHOUT ``lax.scan`` into a pipeline of straight-line
+        segment programs chained per slice through their boundary
+        tensors, with the slice sum accumulated on device (chained
+        dispatches, no host readback).
 
         This is the crash-proof executor on this platform: scanned
-        programs whose bodies hold GB-scale temporaries kill the TPU
-        worker (observed repeatedly on the Sycamore-53 depth-20
-        chain), and straight-line programs beyond ~285 steps die too —
-        but straight-line segments of ~240 steps run.  Cost: one
-        dispatch per segment per slice (2 segments at depth 20)."""
+        bodies holding GB-scale gathered temporaries kill the TPU
+        worker (a straight-line program of the SAME steps runs), and
+        any program beyond ~90-100 MB of generated code dies loading.
+        Segments start at an estimated-code budget and any segment
+        whose MEASURED compiled code exceeds the limit is split in
+        place (only that segment recompiles); each segment receives
+        only its own shift tables (dispatch cost grows with argument
+        count)."""
         import sys
         import time as _t
 
@@ -715,26 +717,26 @@ class SlicedContractor:
         im_all = jnp.asarray(im_h)
         sizes = [d.size for d in self.datas]
         kdim = {v: len(inds) for v, inds in self.plan.eff.items()}
-        shift_keys = []
-        shift_vals = []
+        n_steps = len(sched)
+
+        # live produced nodes AFTER each step (cut metadata).
+        live_after = []
+        live_set: set = set()
+        for st in sched:
+            live_set.discard(st['left'])
+            live_set.discard(st['right'])
+            live_set.add(st['v'])
+            live_after.append(sorted(live_set))
+        boundary_elems = [sum(2**kdim[v] for v in la)
+                         for la in live_after]
+
+        shift_dev = {}
         for st in sched:
             for key in ('shl', 'shr'):
                 if st[key] is not None:
                     t = tuple(st[key])
-                    if t not in shift_keys:
-                        shift_keys.append(t)
-                        shift_vals.append(jnp.asarray(st[key]))
-        shift_of = {t: i for i, t in enumerate(shift_keys)}
-
-        # Straight-line code is ~1.3 MB per big-gather step measured
-        # (237 steps compiled to 306 MB); programs beyond ~90 MB kill
-        # the worker, so cut conservatively and verify the MEASURED
-        # code size after compiling (re-segment on miss).  Scanned
-        # bodies with big gathers crash outright on this platform (a
-        # straight-line program of the same steps runs), hence no
-        # lax.scan anywhere in this executor.
-        if not hasattr(self, 'line_seg_code_mb'):
-            self.line_seg_code_mb = 40.0
+                    if t not in shift_dev:
+                        shift_dev[t] = jnp.asarray(st[key])
 
         def leaf_val(sid, v):
             re = lax.slice(re_all, (offs[v],), (offs[v] + sizes[v],))
@@ -747,7 +749,20 @@ class SlicedContractor:
                 re, im = jnp.take(re, idx), jnp.take(im, idx)
             return re, im
 
-        def make_seg(seg, in_nodes, out_nodes, is_last):
+        def seg_shift_keys(a, b):
+            out = []
+            for st in sched[a:b]:
+                for key in ('shl', 'shr'):
+                    if st[key] is not None:
+                        t = tuple(st[key])
+                        if t not in out:
+                            out.append(t)
+            return out
+
+        def make_seg(a, b, in_nodes, out_nodes, is_last, skeys):
+            seg = sched[a:b]
+            s_of = {t: i for i, t in enumerate(skeys)}
+
             def steps_of(sid, bins, shifts):
                 vals = dict(zip(in_nodes, bins))
 
@@ -763,110 +778,119 @@ class SlicedContractor:
                     if st['key'][4]:
                         lr, li = _flat_gather(
                             lr, li, kl,
-                            shifts[shift_of[tuple(st['shl'])]])
+                            shifts[s_of[tuple(st['shl'])]])
                     if st['key'][5]:
                         rr, ri = _flat_gather(
                             rr, ri, kr,
-                            shifts[shift_of[tuple(st['shr'])]])
+                            shifts[s_of[tuple(st['shr'])]])
                     vals[st['v']] = _apply_flat_step(
                         st['key'], st['mode'], lr, li, rr, ri,
                         precision)
                 return vals
 
             if is_last:
-                def run(acc, sid, bins, re_a, im_a, shifts):
+                def run(acc, sid, bins, shifts):
                     vals = steps_of(sid, bins, shifts)
                     re, im = vals[self.plan.root]
                     return acc[0] + re, acc[1] + im
             else:
-                def run(sid, bins, re_a, im_a, shifts):
+                def run(sid, bins, shifts):
                     vals = steps_of(sid, bins, shifts)
                     return tuple(vals[v] for v in out_nodes)
             return run
 
         CODE_LIMIT_MB = 80.0
-        t0 = _t.time()
-        fns = None
-        for attempt in range(4):
-            bounds, live_at_cut = self._flat_scan_cuts(
-                sched,
-                seg_limit=int(getattr(self, 'line_seg_steps', 240)),
-                budget=float(self.line_seg_code_mb),
-                w_big=1.4, w_small=0.3)
-            segs = [sched[a:b] for a, b in zip(bounds, bounds[1:])]
-            n_seg = len(segs)
-            key = ('flatline', self.matmul_precision, tuple(bounds))
-            fns = self._scan_progs.get(key)
-            if fns is not None:
-                break
+        key = ('flatline', self.matmul_precision)
+        cached = self._scan_progs.get(key)
+        if cached is None:
+            t0 = _t.time()
             f32 = self.float_type
             i32 = jnp.int32
             size = int(np.prod(out_shape, dtype=np.int64)) or 1
             acc_s = (jax.ShapeDtypeStruct((size,), f32),) * 2
             sid_s = jax.ShapeDtypeStruct((), i32)
-            lv = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (re_all, im_all, shift_vals))
+
+            bounds, _ = self._flat_scan_cuts(
+                sched,
+                seg_limit=int(getattr(self, 'line_seg_steps', 240)),
+                budget=float(getattr(self, 'line_seg_code_mb', 50.0)),
+                w_big=1.4, w_small=0.3)
+            cuts = list(bounds)            # [0, c1, ..., n_steps]
             fns = []
-            bound_s = ()
-            max_code = 0.0
-            for k_seg, seg in enumerate(segs):
-                in_nodes = live_at_cut[k_seg - 1] if k_seg else []
-                out_nodes = live_at_cut[k_seg] \
-                    if k_seg < n_seg - 1 else []
-                is_last = k_seg == n_seg - 1
-                run = make_seg(seg, in_nodes, out_nodes, is_last)
+            seg_meta = []                  # (skeys, n_out)
+            k_seg = 0
+            while k_seg + 1 < len(cuts):
+                a, b = cuts[k_seg], cuts[k_seg + 1]
+                in_nodes = live_after[a - 1] if a else []
+                is_last = b == n_steps
+                out_nodes = [] if is_last else live_after[b - 1]
+                skeys = seg_shift_keys(a, b)
+                run = make_seg(a, b, in_nodes, out_nodes, is_last,
+                               skeys)
+                bound_s = tuple(
+                    (jax.ShapeDtypeStruct((2**kdim[v],), f32),) * 2
+                    for v in in_nodes)
+                sh_s = [jax.ShapeDtypeStruct((len(t),), i32)
+                        for t in skeys]
                 if is_last:
                     fn = jax.jit(run, donate_argnums=(0,)).lower(
-                        acc_s, sid_s, bound_s, *lv).compile()
+                        acc_s, sid_s, bound_s, sh_s).compile()
                 else:
                     fn = jax.jit(run).lower(
-                        sid_s, bound_s, *lv).compile()
+                        sid_s, bound_s, sh_s).compile()
+                code_mb = 0.0
                 try:
                     ma = fn.memory_analysis()
                     code_mb = ma.generated_code_size_in_bytes / 2**20
-                    max_code = max(max_code, code_mb)
-                    if verbose:
-                        print(f"#   line segment {k_seg + 1}: code "
-                              f"{code_mb:.1f} MB, temp "
-                              f"{ma.temp_size_in_bytes/2**20:.0f} MB",
-                              file=sys.stderr, flush=True)
                 except Exception:
                     pass
+                if code_mb > CODE_LIMIT_MB and b - a > 1:
+                    # split THIS segment at the lowest boundary within
+                    # its middle half (an end-point split shaves one
+                    # step and recompiles the big remainder each time)
+                    lo = a + max(1, (b - a) // 4)
+                    hi = max(lo + 1, a + (3 * (b - a)) // 4)
+                    mid = min(range(lo, hi),
+                              key=lambda j: boundary_elems[j - 1])
+                    cuts.insert(k_seg + 1, mid)
+                    if verbose:
+                        print(f"#   line segment [{a},{b}) code "
+                              f"{code_mb:.0f} MB > {CODE_LIMIT_MB:.0f}"
+                              f": splitting at {mid}",
+                              file=sys.stderr, flush=True)
+                    continue
+                if verbose:
+                    print(f"#   line segment [{a},{b}): code "
+                          f"{code_mb:.1f} MB", file=sys.stderr,
+                          flush=True)
                 fns.append(fn)
-                bound_s = tuple(
-                    (jax.ShapeDtypeStruct((2**kdim[v],), f32),) * 2
-                    for v in out_nodes)
-            if max_code <= CODE_LIMIT_MB or attempt == 3:
-                self._scan_progs[key] = fns
-                break
-            self.line_seg_code_mb = max(
-                4.0, self.line_seg_code_mb * 0.8 *
-                CODE_LIMIT_MB / max_code)
+                seg_meta.append((skeys, cuts[k_seg], cuts[k_seg + 1]))
+                k_seg += 1
+            cached = (fns, seg_meta, cuts)
+            self._scan_progs[key] = cached
             if verbose:
-                print(f"# line segment code {max_code:.0f} MB > "
-                      f"{CODE_LIMIT_MB:.0f}; re-segmenting at budget "
-                      f"{self.line_seg_code_mb:.0f} MB",
+                print(f"# flat-line executor: compiled {len(fns)} "
+                      f"straight-line programs "
+                      f"({[b - a for a, b in zip(cuts, cuts[1:])]}"
+                      f" steps) in {_t.time()-t0:.1f}s",
                       file=sys.stderr, flush=True)
-        if verbose:
-            print(f"# flat-line executor: compiled {n_seg} "
-                  f"straight-line programs "
-                  f"({[b - a for a, b in zip(bounds, bounds[1:])]}"
-                  f" steps) in {_t.time()-t0:.1f}s",
-                  file=sys.stderr, flush=True)
+        fns, seg_meta, cuts = cached
 
         size = int(np.prod(out_shape, dtype=np.int64)) or 1
         acc = (jnp.zeros((size,), self.float_type),
                jnp.zeros((size,), self.float_type))
+        n_seg = len(fns)
+        seg_shifts = [[shift_dev[t] for t in skeys]
+                      for skeys, _, _ in seg_meta]
         for sid in range(start, stop):
             bound = ()
             for k_seg, fn in enumerate(fns):
                 if k_seg == n_seg - 1:
-                    acc = fn(acc, jnp.int32(sid), bound, re_all,
-                             im_all, shift_vals)
+                    acc = fn(acc, jnp.int32(sid), bound,
+                             seg_shifts[k_seg])
                 else:
-                    bound = fn(jnp.int32(sid), bound, re_all, im_all,
-                               shift_vals)
+                    bound = fn(jnp.int32(sid), bound,
+                               seg_shifts[k_seg])
         re, im = acc
         if out_shift is not None:
             k = len(self.output_order)
